@@ -1,0 +1,264 @@
+"""ViT encoder/decoder for the VQGAN tokenizer, TPU-first.
+
+Capability parity with the reference's stage-1 ViT
+(reference: enhancing/modules/stage1/layers.py:21-217) with a TPU-native design:
+
+- Images are NHWC (TPU-native layout). Patch embed / unembed are expressed as
+  reshape + matmul instead of Conv2d/ConvTranspose2d with kernel=stride — the
+  exact same math, but guaranteed to land on the MXU as one large GEMM.
+  Patch pixels are flattened in (C, ph, pw) order so released PyTorch conv
+  weights map onto the Dense kernels by a pure reshape (see compat/).
+- Fixed (non-trainable) 2-D sin-cos position embeddings
+  (reference: enhancing/modules/stage1/layers.py:21-68).
+- Pre-norm transformer blocks: LN -> MHSA -> residual, LN -> FFN(tanh) -> residual,
+  final LN (reference: enhancing/modules/stage1/layers.py:85-150).
+- Attention runs through ops.attention.multihead_attention which dispatches to a
+  fused Pallas kernel on TPU and a pure-XLA reference path elsewhere.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+from flax import linen as nn
+
+from ...ops.attention import multihead_attention
+
+Size = Union[int, Tuple[int, int], Sequence[int]]
+
+
+def _pair(x: Size) -> Tuple[int, int]:
+    if isinstance(x, int):
+        return (x, x)
+    a, b = x
+    return (int(a), int(b))
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: Size) -> np.ndarray:
+    """Fixed 2-D sin-cos position embedding, (grid_h*grid_w, embed_dim).
+
+    Matches the reference construction (enhancing/modules/stage1/layers.py:21-68):
+    half the channels encode the row coordinate, half the column, each as
+    [sin(pos*omega), cos(pos*omega)] with omega = 1/10000^(2i/d).
+    """
+    gh, gw = _pair(grid_size)
+    grid_h = np.arange(gh, dtype=np.float64)
+    grid_w = np.arange(gw, dtype=np.float64)
+    # w varies fastest (meshgrid with w first, matching the reference)
+    grid = np.meshgrid(grid_w, grid_h)  # grid[0]: w coords, grid[1]: h coords
+    grid = np.stack(grid, axis=0).reshape(2, -1)
+
+    def _1d(dim: int, pos: np.ndarray) -> np.ndarray:
+        assert dim % 2 == 0
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    assert embed_dim % 2 == 0
+    emb_h = _1d(embed_dim // 2, grid[0])
+    emb_w = _1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+# Xavier-uniform init for Dense kernels ("following official JAX ViT",
+# reference: enhancing/modules/stage1/layers.py:71-82).
+dense_init = nn.initializers.xavier_uniform()
+
+
+class FeedForward(nn.Module):
+    """Position-wise MLP with Tanh hidden activation.
+
+    The reference uses Tanh (not GELU) in the stage-1 FFN
+    (enhancing/modules/stage1/layers.py:95-105).
+    """
+
+    dim: int
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, kernel_init=dense_init, dtype=self.dtype, name="fc1")(x)
+        x = jnp.tanh(x)
+        x = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV projection (no bias).
+
+    Mirrors the reference attention (enhancing/modules/stage1/layers.py:108-132):
+    a single qkv Dense without bias, scale = head_dim**-0.5, output projection
+    only when (heads, head_dim) != (1, dim).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=dense_init,
+                       dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = rearrange(q, "b n (h d) -> b h n d", h=self.heads)
+        k = rearrange(k, "b n (h d) -> b h n d", h=self.heads)
+        v = rearrange(v, "b n (h d) -> b h n d", h=self.heads)
+
+        out = multihead_attention(q, k, v, scale=self.dim_head**-0.5)
+        out = rearrange(out, "b h n d -> b n (h d)")
+
+        if not (self.heads == 1 and self.dim_head == self.dim):
+            out = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
+                           name="to_out")(out)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
+                          name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer(nn.Module):
+    """Pre-norm ViT transformer stack with a final LayerNorm.
+
+    (reference: enhancing/modules/stage1/layers.py:135-150)
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock)
+        for i in range(self.depth):
+            x = block_cls(self.dim, self.heads, self.dim_head, self.mlp_dim,
+                          dtype=self.dtype, name=f"layers_{i}")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class ViTEncoder(nn.Module):
+    """Patchify -> add fixed sincos pos-embed -> Transformer.
+
+    (reference: enhancing/modules/stage1/layers.py:153-182). Patch embedding is a
+    single Dense over patches flattened in (C, ph, pw) order — numerically equal
+    to the reference's Conv2d(kernel=stride=patch) but a pure GEMM on the MXU.
+    """
+
+    image_size: Size
+    patch_size: Size
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    channels: int = 3
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self) -> None:
+        ih, iw = _pair(self.image_size)
+        ph, pw = _pair(self.patch_size)
+        assert ih % ph == 0 and iw % pw == 0, "image size must divide by patch size"
+        self.grid = (ih // ph, iw // pw)
+        self.num_patches = self.grid[0] * self.grid[1]
+        self.patch_dim = self.channels * ph * pw
+
+        self.patch_embed = nn.Dense(self.dim, kernel_init=dense_init,
+                                    dtype=self.dtype, name="patch_embed")
+        pos = get_2d_sincos_pos_embed(self.dim, self.grid)
+        self.pos_embed = self.variable(
+            "constants", "pos_embed", lambda: jnp.asarray(pos[None]))
+        self.transformer = Transformer(self.dim, self.depth, self.heads,
+                                       self.dim_head, self.mlp_dim,
+                                       dtype=self.dtype, remat=self.remat,
+                                       name="transformer")
+
+    def __call__(self, img: jax.Array) -> jax.Array:
+        """img: (B, H, W, C) in [0, 1] -> tokens (B, N, dim)."""
+        ph, pw = _pair(self.patch_size)
+        x = rearrange(img, "b (h p1) (w p2) c -> b (h w) (c p1 p2)", p1=ph, p2=pw)
+        x = self.patch_embed(x.astype(self.dtype))
+        x = x + self.pos_embed.value.astype(self.dtype)
+        return self.transformer(x)
+
+
+class ViTDecoder(nn.Module):
+    """Add pos-embed -> Transformer -> un-patchify Dense to pixels.
+
+    (reference: enhancing/modules/stage1/layers.py:185-217). ``to_pixel`` is a
+    Dense producing (C, ph, pw)-ordered patch pixels, equal to the reference's
+    ConvTranspose2d(kernel=stride=patch).
+    """
+
+    image_size: Size
+    patch_size: Size
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    channels: int = 3
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self) -> None:
+        ih, iw = _pair(self.image_size)
+        ph, pw = _pair(self.patch_size)
+        assert ih % ph == 0 and iw % pw == 0, "image size must divide by patch size"
+        self.grid = (ih // ph, iw // pw)
+        self.num_patches = self.grid[0] * self.grid[1]
+
+        pos = get_2d_sincos_pos_embed(self.dim, self.grid)
+        self.pos_embed = self.variable(
+            "constants", "pos_embed", lambda: jnp.asarray(pos[None]))
+        self.transformer = Transformer(self.dim, self.depth, self.heads,
+                                       self.dim_head, self.mlp_dim,
+                                       dtype=self.dtype, remat=self.remat,
+                                       name="transformer")
+        self.to_pixel = nn.Dense(self.channels * ph * pw, kernel_init=dense_init,
+                                 dtype=self.dtype, name="to_pixel")
+
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        """tokens: (B, N, dim) -> img (B, H, W, C)."""
+        ph, pw = _pair(self.patch_size)
+        x = tokens + self.pos_embed.value.astype(tokens.dtype)
+        x = self.transformer(x)
+        x = self.to_pixel(x)
+        img = rearrange(x, "b (h w) (c p1 p2) -> b (h p1) (w p2) c",
+                        h=self.grid[0], p1=ph, p2=pw)
+        return img
+
+    def get_last_layer_path(self) -> Tuple[str, ...]:
+        """Param-tree path of the last layer kernel (for adaptive GAN weight).
+
+        Equivalent of the reference's ``decoder.get_last_layer()``
+        (enhancing/modules/stage1/layers.py:216-217).
+        """
+        return ("to_pixel", "kernel")

@@ -1,0 +1,6 @@
+from .layers import GPT, Block, FFN, MultiHeadSelfAttention, RQTransformer
+from .sampling import filter_logits, sample_gpt, sample_rq
+from .transformer import CondTransformer
+
+__all__ = ["GPT", "RQTransformer", "Block", "FFN", "MultiHeadSelfAttention",
+           "CondTransformer", "sample_gpt", "sample_rq", "filter_logits"]

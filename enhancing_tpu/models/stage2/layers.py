@@ -1,0 +1,455 @@
+"""Stage-2 autoregressive priors: GPT and RQ-Transformer, TPU-first.
+
+Capability parity with the reference stage-2 models
+(reference: enhancing/modules/stage2/layers.py:23-547), redesigned for XLA:
+
+- MultiHeadSelfAttention keeps the reference's RWKV-style token-shift
+  (learned per-channel ``time_mix`` ramp blending x with its one-step-delayed
+  copy, reference layers.py:50-60) and the prefix-causal mask (the condition
+  prefix is mutually visible, reference layers.py:45-48). Full-sequence
+  attention dispatches to the fused Pallas kernel.
+- FFN uses squared-ReLU (reference layers.py:108).
+- Sampling is a single jitted ``lax.scan`` over token positions with a
+  preallocated KV cache — not a Python loop of concatenations. Top-k / top-p
+  filtering and the categorical draw run on device.
+
+Deliberate divergence: the reference's cached sampling zero-pads the
+token-shift for every decoded token (ZeroPad2d on a length-1 sequence,
+layers.py:50,60), silently dropping the shift state at decode time and
+diverging from its own training-time semantics. We carry the true per-layer
+shift state through the scan, matching training semantics exactly.
+Likewise RQTransformer.forward's cumsum over the *channel* axis
+(reference layers.py:378) is an evident bug (its own sampler sums over depth,
+layers.py:502,535); we implement the depth-axis cumsum intent.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.attention import multihead_attention
+
+normal_init = nn.initializers.normal(stddev=0.02)
+
+
+def _time_mix_init(key, shape, dtype=jnp.float32):
+    """Per-channel ramp i/(C-1) (reference layers.py:51-55)."""
+    c = shape[-1]
+    return (jnp.arange(c, dtype=dtype) / max(c - 1, 1)).reshape(shape)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    embed_dim: int
+    n_heads: int
+    cond_len: int
+    attn_bias: bool = True
+    use_mask: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        assert self.embed_dim % self.n_heads == 0
+        self.head_dim = self.embed_dim // self.n_heads
+        dense = functools.partial(nn.Dense, self.embed_dim,
+                                  use_bias=self.attn_bias,
+                                  kernel_init=normal_init, dtype=self.dtype)
+        self.key_p = dense(name="key")
+        self.query_p = dense(name="query")
+        self.value_p = dense(name="value")
+        self.proj = dense(name="proj")
+        self.time_mix = self.param("time_mix", _time_mix_init,
+                                   (1, 1, self.embed_dim))
+
+    def _token_shift(self, x: jax.Array,
+                     prev: Optional[jax.Array] = None) -> jax.Array:
+        """x*tm + delay(x)*(1-tm); ``prev`` supplies the state for 1-token decode."""
+        tm = self.time_mix.astype(x.dtype)
+        if x.shape[1] == 1 and prev is not None:
+            shifted = prev[:, None, :]
+        else:
+            shifted = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        return x * tm + shifted * (1.0 - tm)
+
+    def _qkv(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        b, t, _ = x.shape
+        def split(h):
+            return h.reshape(b, t, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
+        return split(self.query_p(x)), split(self.key_p(x)), split(self.value_p(x))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Full-sequence forward (training)."""
+        b, t, c = x.shape
+        x = self._token_shift(x)
+        q, k, v = self._qkv(x)
+        mode = "prefix_causal" if self.use_mask else "none"
+        y = multihead_attention(q, k, v, scale=self.head_dim**-0.5,
+                                mask_mode=mode, cond_len=self.cond_len)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
+        return self.proj(y)
+
+    def decode(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+               cur_len: jax.Array, shift_prev: jax.Array
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One-token cached decode.
+
+        Args:
+          x: (B, 1, C) current-token activations (already LN'd).
+          k_cache / v_cache: (B, H, ctx_len, hd) preallocated buffers.
+          cur_len: number of valid cache positions before this token.
+          shift_prev: (B, C) previous token's LN'd activation for token-shift.
+        Returns: (attn_out (B,1,C), new_k_cache, new_v_cache)
+        """
+        b = x.shape[0]
+        x = self._token_shift(x, prev=shift_prev)
+        q, k, v = self._qkv(x)                       # (B, H, 1, hd)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, cur_len, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, cur_len, 0))
+
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k_cache.astype(jnp.float32)) * self.head_dim**-0.5
+        pos = jnp.arange(k_cache.shape[2])
+        s = jnp.where(pos[None, None, None, :] <= cur_len, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_cache.dtype), v_cache)
+        y = y.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
+        return self.proj(y), k_cache, v_cache
+
+    def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Multi-token prefix forward filling cache positions [0, T)."""
+        b, t, c = x.shape
+        x = self._token_shift(x)
+        q, k, v = self._qkv(x)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0))
+        mode = "prefix_causal" if self.use_mask else "none"
+        y = multihead_attention(q, k, v, scale=self.head_dim**-0.5,
+                                mask_mode=mode, cond_len=self.cond_len,
+                                impl="xla")
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
+        return self.proj(y), k_cache, v_cache
+
+
+class FFN(nn.Module):
+    """4x expansion with squared-ReLU (reference layers.py:99-110)."""
+
+    embed_dim: int
+    mlp_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(4 * self.embed_dim, use_bias=self.mlp_bias,
+                     kernel_init=normal_init, dtype=self.dtype, name="p0")(x)
+        h = jnp.square(jax.nn.relu(h))
+        return nn.Dense(self.embed_dim, use_bias=self.mlp_bias,
+                        kernel_init=normal_init, dtype=self.dtype, name="p1")(h)
+
+
+class Block(nn.Module):
+    """Pre-LN attention + MLP residual block (reference layers.py:112-143)."""
+
+    embed_dim: int
+    n_heads: int
+    cond_len: int
+    mlp_bias: bool = True
+    attn_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.attn = MultiHeadSelfAttention(
+            embed_dim=self.embed_dim, n_heads=self.n_heads,
+            cond_len=self.cond_len, attn_bias=self.attn_bias, dtype=self.dtype)
+        self.mlp = FFN(self.embed_dim, self.mlp_bias, dtype=self.dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x + self.attn(self.ln1(x))
+        x = x + self.mlp(self.ln2(x))
+        return x
+
+    def decode(self, x, k_cache, v_cache, cur_len, shift_prev):
+        """Returns (x, k_cache, v_cache, new_shift_state)."""
+        h = self.ln1(x)
+        new_shift = h[:, -1, :]
+        a, k_cache, v_cache = self.attn.decode(h, k_cache, v_cache, cur_len,
+                                               shift_prev)
+        x = x + a
+        x = x + self.mlp(self.ln2(x))
+        return x, k_cache, v_cache, new_shift
+
+    def prefill(self, x, k_cache, v_cache):
+        h = self.ln1(x)
+        new_shift = h[:, -1, :]
+        a, k_cache, v_cache = self.attn.prefill(h, k_cache, v_cache)
+        x = x + a
+        x = x + self.mlp(self.ln2(x))
+        return x, k_cache, v_cache, new_shift
+
+
+class GPT(nn.Module):
+    """Conditional GPT prior over tokenizer codes (reference layers.py:146-303)."""
+
+    vocab_cond_size: int
+    vocab_img_size: int
+    embed_dim: int
+    cond_num_tokens: int
+    img_num_tokens: int
+    n_heads: int
+    n_layers: int
+    mlp_bias: bool = True
+    attn_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def ctx_len(self) -> int:
+        return self.cond_num_tokens + self.img_num_tokens
+
+    def setup(self) -> None:
+        self.tok_emb_cond = nn.Embed(self.vocab_cond_size, self.embed_dim,
+                                     embedding_init=normal_init)
+        self.pos_emb_cond = self.param("pos_emb_cond", nn.initializers.zeros,
+                                       (1, self.cond_num_tokens, self.embed_dim))
+        self.tok_emb_code = nn.Embed(self.vocab_img_size, self.embed_dim,
+                                     embedding_init=normal_init)
+        self.pos_emb_code = self.param("pos_emb_code", nn.initializers.zeros,
+                                       (1, self.img_num_tokens, self.embed_dim))
+        self.blocks = [Block(embed_dim=self.embed_dim, n_heads=self.n_heads,
+                             cond_len=self.cond_num_tokens,
+                             mlp_bias=self.mlp_bias, attn_bias=self.attn_bias,
+                             dtype=self.dtype, name=f"blocks_{i}")
+                       for i in range(self.n_layers)]
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.head = nn.Dense(self.vocab_img_size, use_bias=False,
+                             kernel_init=normal_init, dtype=self.dtype)
+
+    def __call__(self, codes: jax.Array, conds: jax.Array) -> jax.Array:
+        """codes: (B, img_num_tokens) int, conds: (B, cond_num_tokens) int.
+
+        Returns logits (B, img_num_tokens, vocab_img_size) — the prediction
+        window offset by the condition prefix (reference layers.py:193-211).
+        """
+        codes = codes.reshape(codes.shape[0], -1)
+        conds = conds.reshape(conds.shape[0], -1)
+        ce = self.tok_emb_code(codes) + self.pos_emb_code.astype(self.dtype)
+        cc = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
+        x = jnp.concatenate([cc, ce], axis=1)
+        for block in self.blocks:
+            x = block(x)
+        x = self.layer_norm(x)
+        x = x[:, self.cond_num_tokens - 1:-1]
+        return self.head(x)
+
+    # -- cached sampling --------------------------------------------------------
+
+    def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
+        dtype = dtype or self.dtype
+        hd = self.embed_dim // self.n_heads
+        shape = (self.n_layers, batch, self.n_heads, self.ctx_len, hd)
+        return {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "shift": jnp.zeros((self.n_layers, batch, self.embed_dim), dtype),
+        }
+
+    def prefill(self, conds: jax.Array, cache: Dict[str, jax.Array]
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Run the condition prefix; returns logits for code token 0."""
+        conds = conds.reshape(conds.shape[0], -1)
+        x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
+        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        for i, block in enumerate(self.blocks):
+            x, k, v, s = block.prefill(x, k_all[i], v_all[i])
+            k_all = k_all.at[i].set(k)
+            v_all = v_all.at[i].set(v)
+            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        x = self.layer_norm(x)
+        logits = self.head(x[:, self.cond_num_tokens - 1])
+        return logits, {"k": k_all, "v": v_all, "shift": s_all}
+
+    def decode_step(self, token: jax.Array, step: jax.Array,
+                    cache: Dict[str, jax.Array]
+                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """token: (B,) code sampled at position step-1 (step >= 1).
+
+        Returns logits predicting code position ``step``.
+        """
+        pos = jnp.take(self.pos_emb_code[0], step - 1, axis=0)
+        x = self.tok_emb_code(token)[:, None, :] + pos[None, None, :].astype(self.dtype)
+        cur_len = self.cond_num_tokens + step - 1
+        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        for i, block in enumerate(self.blocks):
+            x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len, s_all[i])
+            k_all = k_all.at[i].set(k)
+            v_all = v_all.at[i].set(v)
+            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        x = self.layer_norm(x)
+        logits = self.head(x[:, -1])
+        return logits, {"k": k_all, "v": v_all, "shift": s_all}
+
+
+class RQTransformer(nn.Module):
+    """Two-axis AR prior over residual-quantizer codes (reference layers.py:306-547).
+
+    Spatial transformer runs over depth-summed code embeddings; a depth
+    transformer autoregresses over the per-position depth prefix-sums.
+    """
+
+    vocab_cond_size: int
+    vocab_img_size: int
+    embed_dim: int
+    cond_num_tokens: int
+    img_num_tokens: int
+    depth_num_tokens: int
+    spatial_n_heads: int
+    depth_n_heads: int
+    spatial_n_layers: int
+    depth_n_layers: int
+    mlp_bias: bool = True
+    attn_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def ctx_len(self) -> int:
+        return self.cond_num_tokens + self.img_num_tokens
+
+    def setup(self) -> None:
+        uniform_init = nn.initializers.uniform(scale=1.0)  # torch.rand
+        self.tok_emb_cond = nn.Embed(self.vocab_cond_size, self.embed_dim,
+                                     embedding_init=normal_init)
+        self.pos_emb_cond = self.param("pos_emb_cond", uniform_init,
+                                       (1, self.cond_num_tokens, self.embed_dim))
+        self.tok_emb_code = nn.Embed(self.vocab_img_size, self.embed_dim,
+                                     embedding_init=normal_init)
+        self.pos_emb_code = self.param("pos_emb_code", uniform_init,
+                                       (1, self.img_num_tokens, self.embed_dim))
+        self.pos_emb_depth = self.param(
+            "pos_emb_depth", uniform_init,
+            (1, self.depth_num_tokens - 1, self.embed_dim))
+
+        self.spatial_transformer = [
+            Block(embed_dim=self.embed_dim, n_heads=self.spatial_n_heads,
+                  cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
+                  attn_bias=self.attn_bias, dtype=self.dtype,
+                  name=f"spatial_{i}")
+            for i in range(self.spatial_n_layers)]
+        self.depth_transformer = [
+            Block(embed_dim=self.embed_dim, n_heads=self.depth_n_heads,
+                  cond_len=0, mlp_bias=self.mlp_bias,
+                  attn_bias=self.attn_bias, dtype=self.dtype,
+                  name=f"depth_{i}")
+            for i in range(self.depth_n_layers)]
+
+        self.ln_spatial = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln_depth = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.head = nn.Dense(self.vocab_img_size, use_bias=False,
+                             kernel_init=normal_init, dtype=self.dtype)
+
+    def __call__(self, codes: jax.Array, conds: jax.Array) -> jax.Array:
+        """codes: (B, T, D) ints; conds: (B, cond_num_tokens) ints.
+
+        Returns logits (B*T, D, vocab_img_size) matching the reference's
+        flattened layout (layers.py:391-395).
+        """
+        b = codes.shape[0]
+        codes = codes.reshape(b, -1, codes.shape[-1])
+        emb = self.tok_emb_code(codes)                       # (B, T, D, C)
+        conds = conds.reshape(b, -1)
+        cc = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
+
+        # cumsum over the DEPTH axis (paper intent; see module docstring).
+        csum = jnp.cumsum(emb, axis=-2)
+        code_sum = csum[..., -1, :]                          # (B, T, C)
+        spatial_in = code_sum + self.pos_emb_code.astype(self.dtype)
+
+        h = jnp.concatenate([cc, spatial_in], axis=1)
+        for block in self.spatial_transformer:
+            h = block(h)
+        h = self.ln_spatial(h)
+        h = h[:, self.cond_num_tokens - 1:-1]                # (B, T, C)
+
+        v = csum[..., :-1, :] + self.pos_emb_depth.astype(self.dtype)
+        v = jnp.concatenate([h[:, :, None, :], v], axis=2)   # (B, T, D, C)
+        v = v.reshape(-1, *v.shape[2:])                      # (B*T, D, C)
+        for block in self.depth_transformer:
+            v = block(v)
+        return self.head(self.ln_depth(v))                   # (B*T, D, vocab)
+
+    # -- cached sampling --------------------------------------------------------
+
+    def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
+        dtype = dtype or self.dtype
+        hd_s = self.embed_dim // self.spatial_n_heads
+        shape_s = (self.spatial_n_layers, batch, self.spatial_n_heads,
+                   self.ctx_len, hd_s)
+        return {
+            "k": jnp.zeros(shape_s, dtype),
+            "v": jnp.zeros(shape_s, dtype),
+            "shift": jnp.zeros((self.spatial_n_layers, batch, self.embed_dim),
+                               dtype),
+        }
+
+    def spatial_prefill(self, conds, cache):
+        """Condition prefix through the spatial transformer -> first hidden."""
+        conds = conds.reshape(conds.shape[0], -1)
+        x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
+        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        for i, block in enumerate(self.spatial_transformer):
+            x, k, v, s = block.prefill(x, k_all[i], v_all[i])
+            k_all = k_all.at[i].set(k)
+            v_all = v_all.at[i].set(v)
+            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        x = self.ln_spatial(x)
+        hidden = x[:, self.cond_num_tokens - 1]
+        return hidden, {"k": k_all, "v": v_all, "shift": s_all}
+
+    def spatial_step(self, prev_codes: jax.Array, step: jax.Array, cache):
+        """prev_codes: (B, D) codes of the previous spatial position."""
+        pos = jnp.take(self.pos_emb_code[0], step - 1, axis=0)
+        x = jnp.sum(self.tok_emb_code(prev_codes), axis=1, keepdims=True) \
+            + pos[None, None, :].astype(self.dtype)
+        cur_len = self.cond_num_tokens + step - 1
+        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        for i, block in enumerate(self.spatial_transformer):
+            x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len, s_all[i])
+            k_all = k_all.at[i].set(k)
+            v_all = v_all.at[i].set(v)
+            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        x = self.ln_spatial(x)
+        return x[:, -1], {"k": k_all, "v": v_all, "shift": s_all}
+
+    def depth_forward(self, hidden: jax.Array, depth_codes: jax.Array,
+                      d: jax.Array) -> jax.Array:
+        """Depth-transformer forward for one spatial position.
+
+        hidden: (B, C) spatial hidden; depth_codes: (B, D_max) codes sampled so
+        far at this position (only the first ``d`` are valid). Recomputes the
+        depth stack over the fixed-size window (depth is tiny, <= 8), masking
+        invalid positions — cheaper and simpler than a second KV cache.
+        Returns logits (B, vocab) for depth position d.
+        """
+        b = hidden.shape[0]
+        dmax = self.depth_num_tokens
+        emb = self.tok_emb_code(depth_codes)                 # (B, Dmax, C)
+        valid = (jnp.arange(dmax)[None, :, None] < d)
+        csum = jnp.cumsum(jnp.where(valid, emb, 0.0), axis=1)
+        pos_d = jnp.pad(self.pos_emb_depth[0], ((0, 1), (0, 0)))  # (Dmax, C)
+        v = jnp.concatenate(
+            [hidden[:, None, :], csum[:, :-1] + pos_d[None, :-1]], axis=1)
+        for block in self.depth_transformer:
+            v = block(v)
+        v = self.ln_depth(v)
+        out = jnp.take_along_axis(
+            v, jnp.broadcast_to(d, (b,))[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+        return self.head(out)

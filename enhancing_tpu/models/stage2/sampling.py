@@ -1,0 +1,134 @@
+"""On-device autoregressive sampling for the stage-2 priors.
+
+The reference samples with a Python loop that re-concatenates KV tensors every
+step under fp16 autocast (reference: enhancing/modules/stage2/layers.py:213-303
+and :397-477). Here the whole decode is one jitted ``lax.scan`` with a
+preallocated KV cache and static shapes: no host round trips, no per-step
+retracing, top-k/top-p filtering and the categorical draw all on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def filter_logits(logits: jax.Array, top_k: Optional[int] = None,
+                  top_p: Optional[float] = None) -> jax.Array:
+    """Apply top-k then nucleus (top-p) filtering to (B, V) logits.
+
+    Matches the reference semantics (layers.py:242-258): top-k keeps the k
+    best logits; top-p keeps the smallest prefix of the descending-sorted
+    distribution whose cumulative probability reaches ``top_p`` (the first
+    token is always kept).
+    """
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, int(top_k))[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # remove tokens once cumulative prob (exclusive) has passed top_p
+        remove_sorted = cum - probs >= top_p
+        # threshold value: smallest kept logit
+        kept = jnp.where(remove_sorted, -jnp.inf, sorted_logits)
+        threshold = jnp.min(jnp.where(jnp.isfinite(kept), kept, jnp.inf),
+                            axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return logits
+
+
+def _draw(rng: jax.Array, logits: jax.Array, temperature: float,
+          top_k: Optional[int], top_p: Optional[float]) -> jax.Array:
+    logits = logits.astype(jnp.float32) / temperature
+    logits = filter_logits(logits, top_k, top_p)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("module", "top_k", "top_p",
+                                             "temperature"))
+def sample_gpt(module, variables: Dict[str, Any], conds: jax.Array,
+               rng: jax.Array, *, top_k: Optional[int] = None,
+               top_p: Optional[float] = None, temperature: float = 1.0
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Sample ``img_num_tokens`` codes from a GPT prior.
+
+    Returns (logits (B, T, V) fp32, codes (B, T) int32).
+    """
+    b = conds.shape[0]
+    cache = module.apply(variables, b, method="init_cache")
+    logits0, cache = module.apply(variables, conds, cache, method="prefill")
+    rng, sub = jax.random.split(rng)
+    tok0 = _draw(sub, logits0, temperature, top_k, top_p)
+
+    def body(carry, step):
+        tok, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        logits, cache = module.apply(variables, tok, step, cache,
+                                     method="decode_step")
+        nxt = _draw(sub, logits, temperature, top_k, top_p)
+        return (nxt, cache, rng), (logits.astype(jnp.float32), nxt)
+
+    steps = jnp.arange(1, module.img_num_tokens)
+    (_, _, _), (logits_rest, toks_rest) = jax.lax.scan(
+        body, (tok0, cache, rng), steps)
+
+    codes = jnp.concatenate([tok0[None], toks_rest], axis=0).T  # (B, T)
+    logits = jnp.concatenate(
+        [logits0.astype(jnp.float32)[None], logits_rest], axis=0)
+    logits = jnp.transpose(logits, (1, 0, 2))                    # (B, T, V)
+    return logits, codes
+
+
+@functools.partial(jax.jit, static_argnames=("module", "top_k", "top_p",
+                                             "temperature"))
+def sample_rq(module, variables: Dict[str, Any], conds: jax.Array,
+              rng: jax.Array, *, top_k: Optional[int] = None,
+              top_p: Optional[float] = None, temperature: float = 1.0
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Sample (B, T, D) residual codes from an RQTransformer prior."""
+    b = conds.shape[0]
+    dmax = module.depth_num_tokens
+    cache = module.apply(variables, b, method="init_cache")
+    hidden0, cache = module.apply(variables, conds, cache,
+                                  method="spatial_prefill")
+
+    def depth_loop(hidden, rng):
+        """Sample all depth tokens for one spatial position."""
+        def body(carry, d):
+            codes, rng = carry
+            rng, sub = jax.random.split(rng)
+            logits = module.apply(variables, hidden, codes, d,
+                                  method="depth_forward")
+            tok = _draw(sub, logits, temperature, top_k, top_p)
+            codes = jax.lax.dynamic_update_index_in_dim(codes, tok, d, axis=1)
+            return (codes, rng), logits.astype(jnp.float32)
+
+        codes0 = jnp.zeros((b, dmax), jnp.int32)
+        (codes, _), logits = jax.lax.scan(body, (codes0, rng),
+                                          jnp.arange(dmax))
+        return codes, jnp.transpose(logits, (1, 0, 2))  # (B, D, V)
+
+    rng, sub = jax.random.split(rng)
+    codes0, logits0 = depth_loop(hidden0, sub)
+
+    def body(carry, step):
+        prev_codes, cache, rng = carry
+        rng, sub1, sub2 = jax.random.split(rng, 3)
+        hidden, cache = module.apply(variables, prev_codes, step, cache,
+                                     method="spatial_step")
+        codes_d, logits_d = depth_loop(hidden, sub1)
+        return (codes_d, cache, rng), (codes_d, logits_d)
+
+    steps = jnp.arange(1, module.img_num_tokens)
+    (_, _, _), (codes_rest, logits_rest) = jax.lax.scan(
+        body, (codes0, cache, rng), steps)
+
+    codes = jnp.concatenate([codes0[None], codes_rest], axis=0)   # (T, B, D)
+    codes = jnp.transpose(codes, (1, 0, 2))                       # (B, T, D)
+    logits = jnp.concatenate([logits0[None], logits_rest], axis=0)
+    logits = jnp.transpose(logits, (1, 0, 2, 3))                  # (B, T, D, V)
+    return logits.reshape(b * module.img_num_tokens, dmax, -1), codes

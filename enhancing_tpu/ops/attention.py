@@ -1,0 +1,166 @@
+"""Fused multi-head attention for TPU.
+
+Replaces the reference's unfused softmax(QK^T)V matmul chains
+(reference: enhancing/modules/stage1/layers.py:108-132 for the ViT;
+enhancing/modules/stage2/layers.py:57-97 for the causal/prefix GPT attention)
+with a Pallas kernel that keeps the (block_q, N) score tile in VMEM, never
+materialising the full (N, N) attention matrix in HBM.
+
+Design
+------
+* Grid: (batch*heads, N // block_q). K/V for one head live entirely in VMEM
+  (N×D ≤ a few hundred KB for this model family), so each program computes
+  scores for a q-block against all keys, does a numerically-stable softmax in
+  fp32, and one (block_q, N) @ (N, D) matmul back onto the MXU.
+* Masking: ``mask_mode`` is 'none' for the ViT tokenizer or 'prefix_causal'
+  for the stage-2 priors (causal with the first ``cond_len`` tokens mutually
+  visible — reference mask construction enhancing/modules/stage2/layers.py:45-48).
+* Differentiable everywhere: the Pallas forward is wrapped in ``jax.custom_vjp``
+  whose backward is the VJP of the mathematically identical XLA path, so
+  training works regardless of which forward ran.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, interpret_mode, use_pallas
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference path (differentiable; also the source of the backward).
+# ---------------------------------------------------------------------------
+
+def _attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                   mask_mode: str, cond_len: int) -> jax.Array:
+    """q, k, v: (B, H, N, D). Softmax in fp32, output in q.dtype."""
+    n, m = q.shape[-2], k.shape[-2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if mask_mode == "prefix_causal":
+        rows = jnp.arange(n)[:, None]
+        cols = jnp.arange(m)[None, :]
+        allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+        s = jnp.where(allowed, s, NEG_INF)
+    elif mask_mode != "none":
+        raise ValueError(f"unknown mask_mode {mask_mode!r}")
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel.
+# ---------------------------------------------------------------------------
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, mask_mode: str,
+                 cond_len: int, block_q: int):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)          # (block_q, D)
+    k = k_ref[0].astype(jnp.float32)          # (N, D)
+    v = v_ref[0]                               # (N, D)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if mask_mode == "prefix_causal":
+        n_keys = k.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+        s = jnp.where(allowed, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                      mask_mode: str, cond_len: int,
+                      block_q: int = 256) -> jax.Array:
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    bh = b * h
+    q3 = q.reshape(bh, n, d)
+    k3 = k.reshape(bh, m, d)
+    v3 = v.reshape(bh, m, d)
+
+    block_q = min(block_q, n)
+    grid = (bh, cdiv(n, block_q))
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, mask_mode=mask_mode,
+                          cond_len=cond_len, block_q=block_q),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * m * d,
+            bytes_accessed=(q3.size + k3.size + v3.size + bh * n * d) * q.dtype.itemsize,
+            transcendentals=bh * n * m,
+        ),
+        interpret=interpret_mode(),
+    )(q3, k3, v3)
+    return out.reshape(b, h, n, d)
+
+
+# ---------------------------------------------------------------------------
+# Public op: Pallas forward + XLA-derived backward.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_fused(q, k, v, scale, mask_mode, cond_len):
+    return _attention_pallas(q, k, v, scale, mask_mode, cond_len)
+
+
+def _attention_fused_fwd(q, k, v, scale, mask_mode, cond_len):
+    return _attention_pallas(q, k, v, scale, mask_mode, cond_len), (q, k, v)
+
+
+def _attention_fused_bwd(scale, mask_mode, cond_len, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_xla(q_, k_, v_, scale, mask_mode, cond_len),
+        q, k, v)
+    return vjp(g)
+
+
+_attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
+
+
+def multihead_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                        scale: Optional[float] = None,
+                        mask_mode: str = "none",
+                        cond_len: int = 0,
+                        impl: str | None = "auto") -> jax.Array:
+    """Fused scaled-dot-product attention.
+
+    Args:
+      q, k, v: (batch, heads, seq, head_dim).
+      scale: score scale; defaults to head_dim**-0.5.
+      mask_mode: 'none' (bidirectional, ViT) or 'prefix_causal' (stage-2 prior).
+      cond_len: length of the mutually-visible condition prefix.
+      impl: 'auto' (Pallas on TPU, XLA elsewhere), 'pallas', or 'xla'.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas(impl) and q.shape[-2] >= 8:
+        return _attention_fused(q, k, v, float(scale), mask_mode, int(cond_len))
+    return _attention_xla(q, k, v, float(scale), mask_mode, int(cond_len))

@@ -1,0 +1,110 @@
+"""Pallas kernels (interpreter mode) vs pure-XLA reference paths."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhancing_tpu.ops import attention as att
+from enhancing_tpu.ops import vq
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    monkeypatch.setenv("ENHANCING_TPU_PALLAS_INTERPRET", "1")
+
+
+def test_attention_pallas_matches_xla(rng):
+    b, h, n, d = 2, 4, 128, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    ref = att._attention_xla(q, k, v, d**-0.5, "none", 0)
+    out = att._attention_pallas(q, k, v, d**-0.5, "none", 0, block_q=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_prefix_causal_mask(rng):
+    b, h, n, d = 1, 2, 64, 32
+    cond_len = 4
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    ref = att._attention_xla(q, k, v, d**-0.5, "prefix_causal", cond_len)
+    out = att._attention_pallas(q, k, v, d**-0.5, "prefix_causal", cond_len,
+                                block_q=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # causal structure: output at position t must not depend on future tokens
+    v2 = v.at[:, :, -1, :].set(99.0)
+    out2 = att._attention_xla(q, k, v2, d**-0.5, "prefix_causal", cond_len)
+    np.testing.assert_allclose(np.asarray(ref[:, :, :-1]),
+                               np.asarray(out2[:, :, :-1]), atol=1e-6)
+
+
+def test_attention_mask_matches_reference_semantics(rng):
+    """Mask equals torch.tril with mask[:cond_len, :cond_len] = 1."""
+    n, cond_len = 16, 3
+    rows = np.arange(n)[:, None]
+    cols = np.arange(n)[None, :]
+    ours = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+    torch_style = np.tril(np.ones((n, n), bool))
+    torch_style[:cond_len, :cond_len] = True
+    np.testing.assert_array_equal(ours, torch_style)
+
+
+def test_attention_grad_flows(rng):
+    b, h, n, d = 1, 2, 32, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(att._attention_fused(q, k, v, d**-0.5, "none", 0) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(att._attention_xla(q, k, v, d**-0.5, "none", 0) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_vq_pallas_matches_xla(rng):
+    m, n, d = 300, 1000, 32  # deliberately unaligned sizes
+    z = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    codebook = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    ref = vq._nearest_xla(z, codebook)
+    out = vq._nearest_pallas(z, codebook, block_m=128, block_n=256)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_vq_exact_bruteforce(rng):
+    z = jnp.asarray(rng.standard_normal((50, 8)), jnp.float32)
+    codebook = jnp.asarray(rng.standard_normal((37, 8)), jnp.float32)
+    d = np.linalg.norm(np.asarray(z)[:, None] - np.asarray(codebook)[None], axis=-1)
+    expected = d.argmin(axis=1)
+    got = vq.nearest_codebook_indices(z, codebook, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), expected)
+    got_p = vq._nearest_pallas(z, codebook, block_m=64, block_n=128)
+    np.testing.assert_array_equal(np.asarray(got_p), expected)
+
+
+def test_l2_normalize_matches_torch_semantics(rng):
+    import torch
+    import torch.nn.functional as F
+    x = rng.standard_normal((10, 32)).astype(np.float32)
+    ours = np.asarray(vq.l2_normalize(jnp.asarray(x)))
+    theirs = F.normalize(torch.from_numpy(x), dim=-1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    # zero rows do not NaN
+    z = np.zeros((2, 4), np.float32)
+    assert not np.isnan(np.asarray(vq.l2_normalize(jnp.asarray(z)))).any()
+
+
+def test_codebook_distances(rng):
+    z = jnp.asarray(rng.standard_normal((5, 4)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((7, 4)), jnp.float32)
+    d = np.asarray(vq.codebook_distances(z, e))
+    expected = ((np.asarray(z)[:, None] - np.asarray(e)[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, expected, atol=1e-4)

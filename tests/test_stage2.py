@@ -1,0 +1,158 @@
+"""Stage-2 prior tests: GPT forward/sampling consistency, RQTransformer, masks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhancing_tpu.models.stage2 import (
+    GPT,
+    RQTransformer,
+    filter_logits,
+    sample_gpt,
+    sample_rq,
+)
+
+GPT_KW = dict(vocab_cond_size=10, vocab_img_size=32, embed_dim=64,
+              cond_num_tokens=1, img_num_tokens=16, n_heads=4, n_layers=2)
+
+
+@pytest.fixture(scope="module")
+def gpt():
+    m = GPT(**GPT_KW)
+    codes = jnp.zeros((2, 16), jnp.int32)
+    conds = jnp.zeros((2, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), codes, conds)
+    return m, vs
+
+
+def test_gpt_forward_shape(gpt):
+    m, vs = gpt
+    codes = jnp.ones((2, 16), jnp.int32)
+    conds = jnp.ones((2, 1), jnp.int32)
+    logits = m.apply(vs, codes, conds)
+    assert logits.shape == (2, 16, 32)
+
+
+def test_gpt_causality(gpt):
+    """Changing code t must not affect logits for positions <= t."""
+    m, vs = gpt
+    conds = jnp.ones((1, 1), jnp.int32)
+    codes = jnp.zeros((1, 16), jnp.int32)
+    base = m.apply(vs, codes, conds)
+    mod = codes.at[0, 7].set(5)
+    out = m.apply(vs, mod, conds)
+    # logits[:, t] predicts code t from tokens < t: positions 0..7 unaffected
+    np.testing.assert_allclose(np.asarray(base[:, :8]), np.asarray(out[:, :8]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(base[:, 8:]) - np.asarray(out[:, 8:])).max() > 1e-6
+
+
+def test_gpt_cached_decode_matches_full_forward(gpt):
+    """Prefill + decode_step logits == full forward logits (teacher forcing)."""
+    m, vs = gpt
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 32, (2, 16)), jnp.int32)
+    conds = jnp.asarray(rng.integers(0, 10, (2, 1)), jnp.int32)
+
+    full = m.apply(vs, codes, conds)  # (2, 16, 32)
+
+    cache = m.apply(vs, 2, method="init_cache")
+    logits0, cache = m.apply(vs, conds, cache, method="prefill")
+    step_logits = [logits0]
+    for t in range(1, 16):
+        lg, cache = m.apply(vs, codes[:, t - 1], jnp.int32(t), cache,
+                            method="decode_step")
+        step_logits.append(lg)
+    stepped = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_sample_gpt(gpt):
+    m, vs = gpt
+    conds = jnp.zeros((2, 1), jnp.int32)
+    logits, codes = sample_gpt(m, vs, conds, jax.random.PRNGKey(0),
+                               top_k=8, temperature=1.0)
+    assert codes.shape == (2, 16)
+    assert logits.shape == (2, 16, 32)
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 32).all()
+    # different seeds give different samples
+    _, codes2 = sample_gpt(m, vs, conds, jax.random.PRNGKey(1), top_k=8,
+                           temperature=1.0)
+    assert (np.asarray(codes) != np.asarray(codes2)).any()
+
+
+def test_filter_logits_topk():
+    logits = jnp.asarray([[1.0, 3.0, 2.0, 0.5]])
+    out = np.asarray(filter_logits(logits, top_k=2))
+    assert np.isfinite(out[0, 1]) and np.isfinite(out[0, 2])
+    assert np.isinf(out[0, 0]) and np.isinf(out[0, 3])
+
+
+def test_filter_logits_topp():
+    # probs ~ [0.643, 0.236, 0.087, 0.032]: top_p=0.7 keeps first two
+    logits = jnp.log(jnp.asarray([[0.643, 0.236, 0.087, 0.032]]))
+    out = np.asarray(filter_logits(logits, top_p=0.7))
+    assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
+    assert np.isinf(out[0, 2]) and np.isinf(out[0, 3])
+
+
+def test_token_shift_semantics(gpt):
+    """First token's shifted component is zero; later tokens see predecessor."""
+    from enhancing_tpu.models.stage2.layers import MultiHeadSelfAttention
+    m = MultiHeadSelfAttention(embed_dim=8, n_heads=2, cond_len=1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 8)),
+                    jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    tm = np.asarray(vs["params"]["time_mix"])
+    # time_mix ramp: i/(C-1)
+    np.testing.assert_allclose(tm[0, 0], np.arange(8) / 7.0, atol=1e-6)
+
+
+RQ_KW = dict(vocab_cond_size=10, vocab_img_size=32, embed_dim=64,
+             cond_num_tokens=1, img_num_tokens=8, depth_num_tokens=3,
+             spatial_n_heads=4, depth_n_heads=4, spatial_n_layers=2,
+             depth_n_layers=2)
+
+
+@pytest.fixture(scope="module")
+def rqt():
+    m = RQTransformer(**RQ_KW)
+    codes = jnp.zeros((2, 8, 3), jnp.int32)
+    conds = jnp.zeros((2, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), codes, conds)
+    return m, vs
+
+
+def test_rq_forward_shape(rqt):
+    m, vs = rqt
+    codes = jnp.ones((2, 8, 3), jnp.int32)
+    conds = jnp.ones((2, 1), jnp.int32)
+    logits = m.apply(vs, codes, conds)
+    assert logits.shape == (2 * 8, 3, 32)
+
+
+def test_rq_depth_causality(rqt):
+    """Depth logits at (t, d) must not depend on depth codes >= d at t."""
+    m, vs = rqt
+    conds = jnp.ones((1, 1), jnp.int32)
+    codes = jnp.zeros((1, 8, 3), jnp.int32)
+    base = m.apply(vs, codes, conds).reshape(8, 3, 32)
+    mod = codes.at[0, 3, 1].set(7)  # change depth-1 code at position 3
+    out = m.apply(vs, mod, conds).reshape(8, 3, 32)
+    # at position 3: depth 0 and 1 logits unchanged, depth 2 changed
+    np.testing.assert_allclose(np.asarray(base[3, :2]), np.asarray(out[3, :2]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(base[3, 2]) - np.asarray(out[3, 2])).max() > 1e-6
+    # earlier positions unchanged
+    np.testing.assert_allclose(np.asarray(base[:3]), np.asarray(out[:3]),
+                               atol=1e-5)
+
+
+def test_sample_rq(rqt):
+    m, vs = rqt
+    conds = jnp.zeros((2, 1), jnp.int32)
+    logits, codes = sample_rq(m, vs, conds, jax.random.PRNGKey(0), top_k=8)
+    assert codes.shape == (2, 8, 3)
+    assert logits.shape == (2 * 8, 3, 32)
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 32).all()
