@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Driver benchmark: ViT-VQGAN-Base encode+decode throughput at 256px.
+
+Measures the north-star path (SURVEY §3.5): patch-embed -> 12L ViT ->
+pre_quant -> l2-norm VQ argmin (Pallas) -> embed+norm -> post_quant ->
+12L ViT -> un-patchify, in bfloat16, as one jitted program on the default
+device (the real TPU chip under the driver).
+
+Methodology notes (validated against the axon relay's quirks):
+- every iteration gets a *unique* input (a traced counter folded into the
+  image) — the relay caches (executable, input) pairs, so repeated identical
+  calls measure cache hits, not compute;
+- throughput is the marginal time between a 2-iteration and a (2+N)-iteration
+  chained run, excluding all one-time compilation;
+- iterations are chained (x_{i+1} = f(x_i)) so nothing can overlap or dedupe.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 10,000 images/sec/chip (BASELINE.json north star).
+"""
+import json
+import os
+import statistics
+import time
+
+BASELINE_IMG_PER_SEC = 10_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+
+    enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072)
+    model = ViTVQ(image_size=256, patch_size=8, encoder=enc, decoder=enc,
+                  quantizer=dict(embed_dim=32, n_embed=8192),
+                  dtype="bfloat16")
+    module, variables = model.module, model.variables
+
+    @jax.jit
+    def step(v, x, i):
+        codes = module.apply(v, x, method="encode_codes")
+        out = module.apply(v, codes, method="decode_codes")
+        return jnp.clip(out + i * 1e-5, 0.0, 1.0)
+
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x)
+
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 256, 256, 3),
+                            jnp.float32)
+    # compile both graphs
+    float(checksum(step(variables, x0, jnp.float32(0))))
+
+    def run(n: int, tag: int) -> float:
+        x = x0
+        t0 = time.perf_counter()
+        for i in range(n):
+            x = step(variables, x, jnp.float32(tag + i))
+        float(checksum(x))  # host transfer forces full completion
+        return time.perf_counter() - t0
+
+    rates = []
+    for trial in range(trials):
+        t_short = run(2, 10_000 + trial * 1_000)
+        t_long = run(2 + iters, 100_000 + trial * 1_000)
+        per_iter = (t_long - t_short) / iters
+        rates.append(batch / per_iter)
+
+    img_per_sec = statistics.median(rates)
+    print(json.dumps({
+        "metric": "vitvq_base_encode_decode_256px",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

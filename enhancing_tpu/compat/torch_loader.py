@@ -1,0 +1,227 @@
+"""PyTorch checkpoint -> JAX param-tree loaders for the released weights.
+
+The reference loads Lightning checkpoints with key-filtered surgery
+(reference: enhancing/modules/stage1/vitvqgan.py:50-59,
+enhancing/modules/stage2/transformer.py:67-76). These loaders map the
+reference's state_dict naming onto our flax trees so the released HF weights
+(vitvqgan-imagenet-base/small) produce matching codes and reconstructions:
+
+- torch Linear weight (out, in)            -> Dense kernel (in, out) [transpose]
+- torch Conv2d patch-embed (out, c, p, p)  -> Dense kernel (c*p*p, out)
+- torch ConvTranspose2d (in, c, p, p)      -> Dense kernel (in, c*p*p)
+- torch LayerNorm weight/bias              -> scale/bias
+- torch Embedding weight                   -> embedding
+
+All mappings are pure reshapes/transposes — numerically exact.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def _filter_keys(sd: Dict[str, np.ndarray],
+                 ignore_keys: Sequence[str]) -> Dict[str, np.ndarray]:
+    """Reference ignore_keys surgery (vitvqgan.py:52-57)."""
+    out = {}
+    for k, v in sd.items():
+        if any(k.startswith(ik) for ik in ignore_keys):
+            print(f"Deleting key {k} from state_dict.")
+            continue
+        out[k] = v
+    return out
+
+
+def _set(params: Dict, path: List[str], value: np.ndarray) -> bool:
+    node = params
+    for p in path[:-1]:
+        if p not in node:
+            return False
+        node = node[p]
+    if path[-1] not in node:
+        return False
+    expected = np.shape(node[path[-1]])
+    if tuple(expected) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: "
+            f"ckpt {value.shape} vs model {expected}")
+    node[path[-1]] = value.astype(np.asarray(node[path[-1]]).dtype)
+    return True
+
+
+def _map_vit_transformer(prefix: str, sd, params, out_prefix: List[str],
+                         loaded: set) -> None:
+    """Map a stage-1 Transformer stack (encoder/decoder.transformer.*)."""
+    layer_pat = re.compile(
+        re.escape(prefix) + r"\.layers\.(\d+)\.(\d)\.(.+)$")
+    for key, val in sd.items():
+        m = layer_pat.match(key)
+        if m:
+            i, branch, rest = int(m.group(1)), m.group(2), m.group(3)
+            base = out_prefix + [f"layers_{i}"]
+            if branch == "0":  # PreNorm(Attention)
+                if rest == "norm.weight":
+                    ok = _set(params, base + ["norm1", "scale"], val)
+                elif rest == "norm.bias":
+                    ok = _set(params, base + ["norm1", "bias"], val)
+                elif rest == "fn.to_qkv.weight":
+                    ok = _set(params, base + ["attn", "to_qkv", "kernel"], val.T)
+                elif rest == "fn.to_out.weight":
+                    ok = _set(params, base + ["attn", "to_out", "kernel"], val.T)
+                elif rest == "fn.to_out.bias":
+                    ok = _set(params, base + ["attn", "to_out", "bias"], val)
+                else:
+                    continue
+            else:  # PreNorm(FeedForward)
+                if rest == "norm.weight":
+                    ok = _set(params, base + ["norm2", "scale"], val)
+                elif rest == "norm.bias":
+                    ok = _set(params, base + ["norm2", "bias"], val)
+                elif rest == "fn.net.0.weight":
+                    ok = _set(params, base + ["ff", "fc1", "kernel"], val.T)
+                elif rest == "fn.net.0.bias":
+                    ok = _set(params, base + ["ff", "fc1", "bias"], val)
+                elif rest == "fn.net.2.weight":
+                    ok = _set(params, base + ["ff", "fc2", "kernel"], val.T)
+                elif rest == "fn.net.2.bias":
+                    ok = _set(params, base + ["ff", "fc2", "bias"], val)
+                else:
+                    continue
+            if ok:
+                loaded.add(key)
+        elif key == f"{prefix}.norm.weight":
+            if _set(params, out_prefix + ["norm", "scale"], val):
+                loaded.add(key)
+        elif key == f"{prefix}.norm.bias":
+            if _set(params, out_prefix + ["norm", "bias"], val):
+                loaded.add(key)
+
+
+def load_vitvq_params(path: str, params: Any,
+                      ignore_keys: Sequence[str] = ()) -> Any:
+    """Map a reference ViTVQ checkpoint onto our param tree."""
+    import jax
+    sd = _filter_keys(load_torch_state_dict(path), ignore_keys)
+    params = jax.tree.map(np.asarray, jax.device_get(params))
+    loaded: set = set()
+
+    # patch embedding conv (reference layers.py:168-171)
+    if "encoder.to_patch_embedding.0.weight" in sd:
+        w = sd["encoder.to_patch_embedding.0.weight"]   # (dim, c, p, p)
+        _set(params, ["encoder", "patch_embed", "kernel"],
+             w.reshape(w.shape[0], -1).T)
+        _set(params, ["encoder", "patch_embed", "bias"],
+             sd["encoder.to_patch_embedding.0.bias"])
+        loaded |= {"encoder.to_patch_embedding.0.weight",
+                   "encoder.to_patch_embedding.0.bias"}
+
+    # pixel un-embedding transposed conv (reference layers.py:202-205)
+    if "decoder.to_pixel.1.weight" in sd:
+        w = sd["decoder.to_pixel.1.weight"]             # (dim, c, p, p)
+        _set(params, ["decoder", "to_pixel", "kernel"],
+             w.reshape(w.shape[0], -1))
+        b = sd["decoder.to_pixel.1.bias"]               # (c,) per channel
+        pp = w.shape[2] * w.shape[3]
+        _set(params, ["decoder", "to_pixel", "bias"], np.repeat(b, pp))
+        loaded |= {"decoder.to_pixel.1.weight", "decoder.to_pixel.1.bias"}
+
+    _map_vit_transformer("encoder.transformer", sd, params,
+                         ["encoder", "transformer"], loaded)
+    _map_vit_transformer("decoder.transformer", sd, params,
+                         ["decoder", "transformer"], loaded)
+
+    for src, dst in [("pre_quant", "pre_quant"), ("post_quant", "post_quant")]:
+        if f"{src}.weight" in sd:
+            _set(params, [dst, "kernel"], sd[f"{src}.weight"].T)
+            _set(params, [dst, "bias"], sd[f"{src}.bias"])
+            loaded |= {f"{src}.weight", f"{src}.bias"}
+
+    if "quantizer.embedding.weight" in sd:
+        _set(params, ["quantizer", "embedding"],
+             sd["quantizer.embedding.weight"])
+        loaded.add("quantizer.embedding.weight")
+
+    skipped = [k for k in sd if k not in loaded
+               and not k.startswith("loss.")
+               and "pos_embedding" not in k]  # pos embeds are recomputed
+    if skipped:
+        print(f"torch_loader: {len(skipped)} unmapped keys "
+              f"(e.g. {skipped[:5]})")
+    return params
+
+
+def load_gpt_params(path: str, params: Any,
+                    ignore_keys: Sequence[str] = ()) -> Any:
+    """Map a reference GPT/RQTransformer checkpoint onto our param tree."""
+    import jax
+    sd = _filter_keys(load_torch_state_dict(path), ignore_keys)
+    # stage-2 Lightning ckpts prefix the prior with 'transformer.'
+    if any(k.startswith("transformer.") for k in sd):
+        sd = {k[len("transformer."):]: v for k, v in sd.items()
+              if k.startswith("transformer.")}
+    params = jax.tree.map(np.asarray, jax.device_get(params))
+    loaded: set = set()
+
+    def linear(src: str, dst: List[str]):
+        if f"{src}.weight" in sd:
+            if _set(params, dst + ["kernel"], sd[f"{src}.weight"].T):
+                loaded.add(f"{src}.weight")
+        if f"{src}.bias" in sd:
+            if _set(params, dst + ["bias"], sd[f"{src}.bias"]):
+                loaded.add(f"{src}.bias")
+
+    for emb in ("tok_emb_cond", "tok_emb_code"):
+        if f"{emb}.weight" in sd:
+            _set(params, [emb, "embedding"], sd[f"{emb}.weight"])
+            loaded.add(f"{emb}.weight")
+    for pos in ("pos_emb_cond", "pos_emb_code", "pos_emb_depth"):
+        if pos in sd:
+            _set(params, [pos], sd[pos])
+            loaded.add(pos)
+
+    block_maps = [("blocks", "blocks"), ("spatial_transformer", "spatial"),
+                  ("depth_transformer", "depth")]
+    for src_stack, dst_stack in block_maps:
+        pat = re.compile(re.escape(src_stack) + r"\.(\d+)\.(.+?)\.(weight|bias)$")
+        idxs = {int(m.group(1)) for k in sd if (m := pat.match(k))}
+        for i in sorted(idxs):
+            base = f"{src_stack}.{i}"
+            dbase = [f"{dst_stack}_{i}"]
+            for ln in ("ln1", "ln2"):
+                if f"{base}.{ln}.weight" in sd:
+                    _set(params, dbase + [ln, "scale"], sd[f"{base}.{ln}.weight"])
+                    _set(params, dbase + [ln, "bias"], sd[f"{base}.{ln}.bias"])
+                    loaded |= {f"{base}.{ln}.weight", f"{base}.{ln}.bias"}
+            for proj in ("key", "query", "value", "proj"):
+                linear(f"{base}.attn.{proj}", dbase + ["attn", proj])
+            if f"{base}.attn.time_mix" in sd:
+                _set(params, dbase + ["attn", "time_mix"],
+                     sd[f"{base}.attn.time_mix"])
+                loaded.add(f"{base}.attn.time_mix")
+            linear(f"{base}.mlp.p0", dbase + ["mlp", "p0"])
+            linear(f"{base}.mlp.p1", dbase + ["mlp", "p1"])
+
+    for ln_src, ln_dst in [("layer_norm", "layer_norm"),
+                           ("ln_spatial", "ln_spatial"),
+                           ("ln_depth", "ln_depth")]:
+        if f"{ln_src}.weight" in sd:
+            _set(params, [ln_dst, "scale"], sd[f"{ln_src}.weight"])
+            _set(params, [ln_dst, "bias"], sd[f"{ln_src}.bias"])
+            loaded |= {f"{ln_src}.weight", f"{ln_src}.bias"}
+    linear("head", ["head"])
+
+    skipped = [k for k in sd if k not in loaded and ".mask" not in k]
+    if skipped:
+        print(f"torch_loader: {len(skipped)} unmapped keys "
+              f"(e.g. {skipped[:5]})")
+    return params

@@ -1,0 +1,4 @@
+from .dummycond import ClassCond, DummyCond, TextCond
+from .vqcond import VQCond, VQSegmentation
+
+__all__ = ["DummyCond", "TextCond", "ClassCond", "VQCond", "VQSegmentation"]

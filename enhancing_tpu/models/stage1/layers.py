@@ -247,13 +247,25 @@ class ViTDecoder(nn.Module):
 
     def __call__(self, tokens: jax.Array) -> jax.Array:
         """tokens: (B, N, dim) -> img (B, H, W, C)."""
-        ph, pw = _pair(self.patch_size)
+        return self.pixels_from_tokens(self.pre_pixel_tokens(tokens))
+
+    def pre_pixel_tokens(self, tokens: jax.Array) -> jax.Array:
+        """Everything up to (but excluding) the last layer (to_pixel)."""
         x = tokens + self.pos_embed.value.astype(tokens.dtype)
-        x = self.transformer(x)
+        return self.transformer(x)
+
+    def pixels_from_tokens(self, x: jax.Array) -> jax.Array:
+        """The last layer only: to_pixel Dense + un-patchify."""
+        ph, pw = _pair(self.patch_size)
         x = self.to_pixel(x)
-        img = rearrange(x, "b (h w) (c p1 p2) -> b (h p1) (w p2) c",
-                        h=self.grid[0], p1=ph, p2=pw)
-        return img
+        return rearrange(x, "b (h w) (c p1 p2) -> b (h p1) (w p2) c",
+                         h=self.grid[0], p1=ph, p2=pw)
+
+    def patchify_grad(self, g: jax.Array) -> jax.Array:
+        """Inverse of the un-patchify rearrange, for last-layer grad chaining."""
+        ph, pw = _pair(self.patch_size)
+        return rearrange(g, "b (h p1) (w p2) c -> b (h w) (c p1 p2)",
+                         p1=ph, p2=pw)
 
     def get_last_layer_path(self) -> Tuple[str, ...]:
         """Param-tree path of the last layer kernel (for adaptive GAN weight).

@@ -99,6 +99,17 @@ class ViTVQModule(nn.Module):
             h.astype(jnp.float32), temp, deterministic)
         return self.decode(quant), emb_loss, codes
 
+    def forward_training(self, x, temp=None, deterministic=True):
+        """(xrec, qloss, pre_pixel_tokens) — the extra aux output lets the
+        train step form last-layer gradients for the adaptive adversarial
+        weight (reference vqperceptual.py:95-103) with one cheap einsum
+        instead of extra full backward passes."""
+        quant, emb_loss = self.encode(x, temp, deterministic)
+        tokens = self.dec.pre_pixel_tokens(self.post_quant(
+            quant.astype(self.dtype)))
+        xrec = self.dec.pixels_from_tokens(tokens)
+        return xrec, emb_loss, tokens
+
 
 def _as_nhwc(x: jax.Array) -> jax.Array:
     """Accept NCHW (reference layout) or NHWC and return NHWC."""

@@ -1,0 +1,182 @@
+"""upfirdn2d — upsample, FIR filter, downsample (StyleGAN blur) for TPU.
+
+TPU-native replacement for the reference's CUDA extension
+(reference: enhancing/losses/op/upfirdn2d_kernel.cu:50-366 and the autograd
+wrapper enhancing/losses/op/upfirdn2d.py:112-209):
+
+- General path: one ``lax.conv_general_dilated`` in NHWC — lhs_dilation
+  performs the zero-stuffed upsample, window strides the downsample, and the
+  depthwise FIR runs as a grouped conv. XLA differentiates this natively, so
+  no conv2d_gradfix equivalent is needed (grads w.r.t. inputs only fall out
+  of jax.grad by construction).
+- Hot path (up=down=1: the discriminator's Blur) is a Pallas kernel that
+  accumulates the k×k taps as shifted VMEM reads over a channels-last block,
+  fused in one pass over HBM. Backward = the VJP of the identical lax path.
+
+Semantics match the reference native fallback (upfirdn2d.py:168-209):
+zero-insert upsample by ``up``, pad by (pad0, pad1) per spatial dim (negative
+pads crop), *convolve* (kernel flipped) with the 2-D FIR kernel, then keep
+every ``down``-th pixel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, interpret_mode, use_pallas
+
+
+def _norm_pad(pad) -> Tuple[int, int, int, int]:
+    """(padx0, padx1, pady0, pady1) from the reference's pad argument."""
+    if isinstance(pad, int):
+        return (pad, pad, pad, pad)
+    if len(pad) == 2:
+        return (pad[0], pad[1], pad[0], pad[1])
+    return tuple(pad)
+
+
+def _upfirdn2d_xla(x: jax.Array, kernel: jax.Array, up: int, down: int,
+                   pad: Tuple[int, int, int, int]) -> jax.Array:
+    """x: (B, H, W, C); kernel: (kh, kw) fp32. Returns (B, H', W', C)."""
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape
+    px0, px1, py0, py1 = pad
+
+    # Flip for true convolution (conv_general_dilated does correlation).
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    k = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, c))
+
+    # lhs_dilation inserts zeros *between* samples ((h-1)*up + 1 long); the
+    # reference zero-stuffs after every sample (h*up long) — add the missing
+    # (up - 1) trailing zeros into the end padding. Negative pads crop.
+    out = jax.lax.conv_general_dilated(
+        x, k,
+        window_strides=(down, down),
+        padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
+        lhs_dilation=(up, up),
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas hot path: up = down = 1 (plain FIR blur with padding).
+# ---------------------------------------------------------------------------
+
+def _fir_kernel(x_ref, o_ref, *, taps, kh: int, kw: int, py0: int, px0: int,
+                h: int, w: int):
+    """One batch image per program. x: (H, W, C) block; out: (Ho, Wo, C).
+
+    out[i, j] = sum_{a,b} k[a, b] * x_padded[i + a, j + b] with the kernel
+    pre-flipped in ``taps`` (true convolution).
+    """
+    x = x_ref[0]
+    ho, wo = o_ref.shape[1], o_ref.shape[2]
+    c = x.shape[-1]
+    acc = jnp.zeros((ho, wo, c), jnp.float32)
+    for a in range(kh):
+        for b in range(kw):
+            tap = taps[a][b]
+            if tap == 0.0:
+                continue
+            # source window: rows [a - py0, a - py0 + ho), cols likewise
+            r0 = a - py0
+            c0 = b - px0
+            # clamp to valid region; contributions outside are zero padding
+            rs, re = max(r0, 0), min(r0 + ho, h)
+            cs, ce = max(c0, 0), min(c0 + wo, w)
+            if rs >= re or cs >= ce:
+                continue
+            dst_r0 = rs - r0
+            dst_c0 = cs - c0
+            patch = x[rs:re, cs:ce, :].astype(jnp.float32)
+            # static zero-pad to (ho, wo): avoids scatter inside the kernel
+            padded = jnp.pad(
+                tap * patch,
+                ((dst_r0, ho - dst_r0 - (re - rs)),
+                 (dst_c0, wo - dst_c0 - (ce - cs)), (0, 0)))
+            acc = acc + padded
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _upfirdn2d_pallas_fir(x: jax.Array, taps: tuple, pad) -> jax.Array:
+    """taps: pre-flipped kernel as a nested tuple of python floats (static)."""
+    b, h, w, c = x.shape
+    kh, kw = len(taps), len(taps[0])
+    px0, px1, py0, py1 = pad
+    ho = h + py0 + py1 - kh + 1
+    wo = w + px0 + px1 - kw + 1
+
+    return pl.pallas_call(
+        functools.partial(_fir_kernel, taps=taps, kh=kh, kw=kw,
+                          py0=py0, px0=px0, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), x.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ho, wo, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
+    )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fir_fused(x, taps, pad):
+    return _upfirdn2d_pallas_fir(x, taps, pad)
+
+
+def _fir_fused_fwd(x, taps, pad):
+    return _upfirdn2d_pallas_fir(x, taps, pad), x
+
+
+def _fir_fused_bwd(taps, pad, x, g):
+    import numpy as np
+    # un-flip back to the original kernel for the XLA reference VJP
+    k = jnp.asarray(np.flip(np.asarray(taps, np.float32), (0, 1)))
+    _, vjp = jax.vjp(lambda x_: _upfirdn2d_xla(x_, k, 1, 1, pad), x)
+    return vjp(g)
+
+
+_fir_fused.defvjp(_fir_fused_fwd, _fir_fused_bwd)
+
+# Full-image Pallas path only when the input panel fits comfortably in VMEM;
+# larger panels go through XLA's depthwise conv (already well-tiled on TPU).
+_PALLAS_FIR_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def upfirdn2d(x: jax.Array, kernel: jax.Array, up: int = 1, down: int = 1,
+              pad=(0, 0), *, impl: str | None = "auto") -> jax.Array:
+    """Upsample-FIR-downsample on NHWC images.
+
+    Matches the reference op's channel-last math (it flattens channels into
+    batch; here channels ride the TPU lane dimension instead). The FIR kernel
+    must be a concrete (non-traced) array — it is baked into the Pallas kernel
+    as static taps, exactly like the reference bakes it into its CUDA kernel
+    templates (upfirdn2d_kernel.cu:250-309).
+    """
+    pad4 = _norm_pad(pad)
+    import numpy as np
+    panel_bytes = int(np.prod(x.shape[1:])) * x.dtype.itemsize
+    if (up == 1 and down == 1 and use_pallas(impl) and kernel.ndim == 2
+            and not isinstance(kernel, jax.core.Tracer)
+            and panel_bytes <= _PALLAS_FIR_VMEM_BUDGET):
+        taps = tuple(tuple(float(v) for v in row)
+                     for row in np.flip(np.asarray(kernel, np.float32), (0, 1)))
+        return _fir_fused(x, taps, pad4)
+    return _upfirdn2d_xla(x, jnp.asarray(kernel, jnp.float32), up, down, pad4)
+
+
+def make_blur_kernel(taps) -> jax.Array:
+    """1-D taps -> normalized 2-D separable blur kernel (reference Blur,
+    enhancing/losses/layers.py:140-160)."""
+    k = jnp.asarray(taps, jnp.float32)
+    if k.ndim == 1:
+        k = k[None, :] * k[:, None]
+    return k / jnp.sum(k)

@@ -1,0 +1,64 @@
+"""Parameter sharding rules: tensor-parallel specs for the stage-2 priors.
+
+The stage-1 tokenizer (<=100M params) is replicated; the GPT prior at its
+shipped size (6144d x 24L, configs/imagenet_gpt_vitvq_base.yaml:34-41) carries
+~11B matmul params, so its attention/FFN kernels are Megatron-sharded over the
+``model`` axis:
+
+- column-parallel (shard output features): q/k/v projections, FFN up (p0),
+  vocab head — P(None, 'model')
+- row-parallel (shard input features): attention out-proj, FFN down (p1)
+  — P('model', None)
+- everything else (LN, biases of row-parallel layers, embeddings, pos embeds)
+  replicated.
+
+XLA/GSPMD inserts the reduce-scatter/all-gather collectives; no hand-written
+comms (SURVEY §2.9 TPU-native mapping).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# (path regex, PartitionSpec) — first match wins; applied to 2-D kernels only.
+_GPT_RULES = [
+    (re.compile(r"attn/(key|query|value)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"attn/proj/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r"mlp/p0/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r"mlp/p1/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r"head/kernel$"), P(None, MODEL_AXIS)),
+    # column-parallel bias lives with the output features
+    (re.compile(r"attn/(key|query|value)/bias$"), P(MODEL_AXIS)),
+    (re.compile(r"mlp/p0/bias$"), P(MODEL_AXIS)),
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def gpt_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec tree for a GPT/RQTransformer param tree."""
+    def spec_for(path, leaf):
+        name = _path_str(path)
+        for pat, spec in _GPT_RULES:
+            if pat.search(name):
+                return spec
+        return P()
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def replicated_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.tree.map(lambda _: P(), params)
+
+
+def place_params(mesh: Mesh, params: Dict[str, Any],
+                 specs: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put the param tree with the given specs on the mesh."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)

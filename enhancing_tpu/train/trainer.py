@@ -1,0 +1,232 @@
+"""The training loop: GSPMD data-parallel fit with checkpointing and logging.
+
+TPU-native replacement for pl.Trainer (reference: main.py:51-61): a single
+process drives jitted train steps over a jax.sharding.Mesh. Batches are
+host-loaded, placed with the batch dim sharded on the 'data' axis; XLA inserts
+the gradient all-reduces (the DDP/NCCL equivalent, SURVEY §2.9). Checkpoints
+go through orbax (every epoch, all kept — reference general.py:49-55);
+metrics/image callbacks mirror the reference's Lightning callbacks.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+from ..models.stage1.vitvqgan import ViTVQ, _as_nhwc
+from ..models.stage2.transformer import CondTransformer
+from ..parallel.mesh import batch_sharding, is_main_process, make_mesh, replicated
+from ..parallel.sharding import gpt_param_specs, place_params, replicated_specs
+from ..utils.callback import ImageLogger, SetupCallback
+from .optim import make_ae_optimizer, make_gpt_optimizer
+from .steps import (
+    GANTrainState,
+    TrainState,
+    make_cond_transformer_train_step,
+    make_vitvq_eval_step,
+    make_vitvq_train_step,
+)
+
+
+class Trainer:
+    def __init__(self, max_epochs: int = 100, base_lr: float = 4.5e-6,
+                 use_amp: bool = False, accumulate_grad_batches: int = 1,
+                 basedir: Optional[str] = None, seed: int = 0,
+                 mesh=None, model_parallel: int = 1,
+                 checkpoint_every_epochs: int = 1,
+                 log_every: int = 50,
+                 callbacks: Optional[list] = None,
+                 max_steps: Optional[int] = None) -> None:
+        self.max_epochs = max_epochs
+        self.base_lr = base_lr
+        self.use_amp = use_amp
+        self.accumulate = accumulate_grad_batches
+        self.basedir = Path(basedir) if basedir else None
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh(
+            model=model_parallel)
+        self.checkpoint_every_epochs = checkpoint_every_epochs
+        self.log_every = log_every
+        self.callbacks = callbacks or []
+        self.max_steps = max_steps
+        self.global_step = 0
+        self._ckpt_mgr = None
+        if self.basedir is not None and is_main_process():
+            self._ckpt_mgr = ocp.CheckpointManager(
+                (self.basedir / "ckpt").absolute(),
+                options=ocp.CheckpointManagerOptions(max_to_keep=None))
+
+    # -- state construction -----------------------------------------------------
+
+    def _build_stage1(self, model: ViTVQ):
+        loss_obj = model.loss
+        sched = None
+        if model.scheduler is not None:
+            from ..utils.config import initialize_from_config
+            cfg = dict(model.scheduler)
+            cfg.setdefault("params", {})
+            cfg["params"]["start"] = self.base_lr
+            sched = initialize_from_config(cfg)
+        ae_tx = make_ae_optimizer(self.base_lr, sched, self.accumulate)
+        has_disc = getattr(loss_obj, "has_discriminator", False)
+        disc_tx = make_ae_optimizer(self.base_lr, sched, self.accumulate) \
+            if has_disc else None
+
+        state = GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            ae_params=model.params,
+            ae_opt=ae_tx.init(model.params),
+            disc_params=loss_obj.disc_init_params if has_disc else None,
+            disc_opt=(disc_tx.init(loss_obj.disc_init_params)
+                      if has_disc else None))
+        specs = replicated_specs(state)
+        state = place_params(self.mesh, state, specs)
+        train_step = make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx)
+        eval_step = make_vitvq_eval_step(model, loss_obj)
+        return state, train_step, eval_step
+
+    def _build_stage2(self, model: CondTransformer):
+        sched = None
+        if model.scheduler is not None:
+            from ..utils.config import initialize_from_config
+            cfg = dict(model.scheduler)
+            cfg.setdefault("params", {})
+            cfg["params"]["start"] = self.base_lr
+            sched = initialize_from_config(cfg)
+        tx = make_gpt_optimizer(self.base_lr, sched,
+                                accumulate=self.accumulate)
+        params = model.params
+        specs = gpt_param_specs(params)
+        params = place_params(self.mesh, params, specs)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt=tx.init(params))
+        train_step = make_cond_transformer_train_step(model, tx)
+        return state, train_step
+
+    # -- fit ---------------------------------------------------------------------
+
+    def fit(self, model, data) -> None:
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_start"):
+                cb.on_fit_start()
+        data.setup()
+        if isinstance(model, CondTransformer):
+            self._fit_stage2(model, data)
+        else:
+            self._fit_stage1(model, data)
+
+    def _shard(self, arr):
+        return jax.device_put(jnp.asarray(arr), batch_sharding(self.mesh))
+
+    def _fit_stage1(self, model: ViTVQ, data) -> None:
+        state, train_step, eval_step = self._build_stage1(model)
+        rng = jax.random.PRNGKey(self.seed)
+        do_r1_every = getattr(model.loss, "do_r1_every", 0)
+        image_loggers = [cb for cb in self.callbacks
+                         if isinstance(cb, ImageLogger)]
+
+        for epoch in range(self.max_epochs):
+            for batch_idx, batch in enumerate(data.train_dataloader()):
+                x = self._shard(_as_nhwc(jnp.asarray(
+                    batch[model.image_key], jnp.float32)))
+                rng, step_rng = jax.random.split(rng)
+                temp = jnp.float32(self._gumbel_temp(model))
+                do_r1 = bool(do_r1_every) and batch_idx % do_r1_every == 0
+                state, log = train_step(state, x, step_rng, temp, do_r1=do_r1)
+                self.global_step = int(state.step)
+                self._maybe_log(log, epoch)
+                model.params = state.ae_params  # keep wrapper in sync
+                for il in image_loggers:
+                    il.log_img(model, batch, self.global_step, "train")
+                if self.max_steps and self.global_step >= self.max_steps:
+                    break
+
+            self._validate_stage1(model, data, state, eval_step, epoch)
+            self._save_ckpt(state, epoch)
+            if self.max_steps and self.global_step >= self.max_steps:
+                break
+        model.params = state.ae_params
+        self.final_state = state
+
+    def _validate_stage1(self, model, data, state, eval_step, epoch) -> None:
+        if "validation" not in getattr(data, "datasets", {}):
+            return
+        logs = []
+        for batch in data.val_dataloader():
+            x = self._shard(_as_nhwc(jnp.asarray(
+                batch[model.image_key], jnp.float32)))
+            logs.append(eval_step(state, x))
+        if logs:
+            mean_log = {k: float(np.mean([float(l[k]) for l in logs]))
+                        for k in logs[0]}
+            self._print_metrics(mean_log, prefix=f"[epoch {epoch} val]")
+
+    def _fit_stage2(self, model: CondTransformer, data) -> None:
+        state, train_step = self._build_stage2(model)
+        image_loggers = [cb for cb in self.callbacks
+                         if isinstance(cb, ImageLogger)]
+        for epoch in range(self.max_epochs):
+            for batch_idx, batch in enumerate(data.train_dataloader()):
+                images = self._shard(_as_nhwc(jnp.asarray(
+                    batch[model.stage1_model.image_key], jnp.float32)))
+                conds = np.asarray(batch[model.cond_key])
+                conds = jnp.asarray(
+                    model.cond_model.encode_codes(conds)).astype(jnp.int32)
+                if conds.ndim == 1:
+                    conds = conds[:, None]
+                conds = self._shard(conds)
+                state, log = train_step(state, images, conds)
+                self.global_step = int(state.step)
+                self._maybe_log(log, epoch)
+                model.params = state.params
+                for il in image_loggers:
+                    il.log_img(model, batch, self.global_step, "train",
+                               top_k=64)
+                if self.max_steps and self.global_step >= self.max_steps:
+                    break
+            self._save_ckpt(state, epoch)
+            if self.max_steps and self.global_step >= self.max_steps:
+                break
+        model.params = state.params
+        self.final_state = state
+
+    # -- misc --------------------------------------------------------------------
+
+    def _gumbel_temp(self, model) -> float:
+        ts = getattr(model, "temperature_scheduler", None)
+        if ts is None:
+            return float(getattr(
+                getattr(model.module, "quantizer", None), "temp_init", 1.0)
+                if hasattr(model.module, "quantizer") else 1.0)
+        return float(ts(self.global_step))
+
+    def _maybe_log(self, log: Dict[str, Any], epoch: int) -> None:
+        if self.global_step % self.log_every == 0 and is_main_process():
+            self._print_metrics(
+                {k: float(v) for k, v in log.items()},
+                prefix=f"[epoch {epoch} step {self.global_step}]")
+
+    def _print_metrics(self, metrics: Dict[str, float], prefix: str) -> None:
+        parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        print(f"{prefix} {parts}", flush=True)
+
+    def _save_ckpt(self, state, epoch: int) -> None:
+        if self._ckpt_mgr is None:
+            return
+        if (epoch + 1) % self.checkpoint_every_epochs:
+            return
+        self._ckpt_mgr.save(
+            epoch, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore(self, state, step: Optional[int] = None):
+        assert self._ckpt_mgr is not None
+        step = step if step is not None else self._ckpt_mgr.latest_step()
+        return self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(state))

@@ -1,0 +1,182 @@
+"""CLIP byte-pair-encoding tokenizer (vocab 49408).
+
+Functional parity with the reference's SimpleTokenizer
+(reference: enhancing/utils/tokenizer.py:51-151), implemented from the BPE
+algorithm: byte->unicode table, greedy lowest-rank merge loop, and
+``tokenize`` producing fixed-length int sequences wrapped in
+<|startoftext|>/<|endoftext|>.
+
+The merges vocabulary is a *data file* (the standard CLIP
+``bpe_simple_vocab_16e6.txt``); it is not vendored — pass ``bpe_path`` or
+place it at assets/vocab/bpe_simple_vocab_16e6.txt.
+"""
+from __future__ import annotations
+
+import gzip
+import html
+import os
+import re
+from functools import lru_cache
+from pathlib import Path
+from typing import List, Optional, Union
+
+import numpy as np
+
+DEFAULT_BPE_PATHS = (
+    "assets/vocab/bpe_simple_vocab_16e6.txt",
+    "assets/vocab/bpe_simple_vocab_16e6.txt.gz",
+)
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Reversible byte -> printable-unicode map (standard GPT-2/CLIP table)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def get_pairs(word):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _find_bpe_file(path: Optional[str]) -> str:
+    candidates = [path] if path else []
+    candidates += [str(Path(os.getcwd()) / p) for p in DEFAULT_BPE_PATHS]
+    for c in candidates:
+        if c and Path(c).is_file():
+            return c
+    raise FileNotFoundError(
+        "CLIP BPE vocab not found. Pass bpe_path= or place "
+        "bpe_simple_vocab_16e6.txt under assets/vocab/.")
+
+
+class SimpleTokenizer:
+    def __init__(self, bpe_path: Optional[str] = None) -> None:
+        bpe_path = _find_bpe_file(bpe_path)
+        if bpe_path.endswith(".gz"):
+            merges = gzip.open(bpe_path, "rt", encoding="utf-8").read()
+        else:
+            merges = open(bpe_path, encoding="utf-8").read()
+        merges = merges.split("\n")
+        merges = merges[1:49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges]
+
+        vocab = list(bytes_to_unicode().values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.cache = {"<|startoftext|>": "<|startoftext|>",
+                      "<|endoftext|>": "<|endoftext|>"}
+        self.pat = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[^\s\w]+|\w+", re.IGNORECASE)
+        self.vocab_size = len(self.encoder)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if (word[i] == first and i < len(word) - 1
+                        and word[i + 1] == second):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
+        text = whitespace_clean(basic_clean(text)).lower()
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b]
+                            for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t]
+                              for t in self.bpe(token).split(" "))
+        return bpe_tokens
+
+    def decode(self, tokens) -> str:
+        tokens = [int(t) for t in np.asarray(tokens).reshape(-1)]
+        text = "".join(self.decoder.get(t, "") for t in tokens)
+        text = bytearray(self.byte_decoder.get(c, 32) for c in text).decode(
+            "utf-8", errors="replace").replace("</w>", " ")
+        for special in ("<|startoftext|>", "<|endoftext|>"):
+            text = text.replace(special, "")
+        return text.strip()
+
+    def tokenize(self, texts: Union[str, List[str]], context_length: int = 77,
+                 truncate_text: bool = False) -> np.ndarray:
+        """Fixed-length int32 token matrix with SOT/EOT wrapping
+        (reference tokenizer.py:121-151)."""
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        sot = self.encoder["<|startoftext|>"]
+        eot = self.encoder["<|endoftext|>"]
+        result = np.zeros((len(texts), context_length), np.int32)
+        for i, text in enumerate(texts):
+            tokens = [sot] + self.encode(text) + [eot]
+            if len(tokens) > context_length:
+                if truncate_text:
+                    tokens = tokens[:context_length]
+                else:
+                    raise RuntimeError(
+                        f"Input {text!r} is too long for context length "
+                        f"{context_length}")
+            result[i, :len(tokens)] = tokens
+        return result[0] if single else result

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""CLI trainer: python3 main.py -c <config> [-s seed -nn nodes -ng chips -u
+accum -e epochs -lr lr -a amp -b freq -m max_images].
+
+Same surface as the reference entrypoint (reference: main.py:16-61), driving
+the TPU-native Trainer instead of pytorch_lightning: a (data, model) device
+mesh replaces DDP, XLA collectives replace NCCL, bf16 policy replaces AMP.
+"""
+import argparse
+import random
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+
+def set_seed(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-s", "--seed", type=int, default=0)
+    parser.add_argument("-nn", "--num_nodes", type=int, default=1)
+    parser.add_argument("-ng", "--num_chips", "--num_gpus", type=int,
+                        default=0, help="0 = use all visible devices")
+    parser.add_argument("-u", "--update_every", type=int, default=1)
+    parser.add_argument("-e", "--epochs", type=int, default=100)
+    parser.add_argument("-lr", "--base_lr", type=float, default=4.5e-6)
+    parser.add_argument("-a", "--use_amp", default=False, action="store_true",
+                        help="bf16 compute policy (TPU-native AMP)")
+    parser.add_argument("-b", "--batch_frequency", type=int, default=750)
+    parser.add_argument("-m", "--max_images", type=int, default=4)
+    parser.add_argument("-mp", "--model_parallel", type=int, default=1,
+                        help="tensor-parallel size (mesh 'model' axis)")
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    args = parser.parse_args()
+
+    set_seed(args.seed)
+
+    from enhancing_tpu.parallel import init_distributed, make_mesh
+    init_distributed(args.coordinator, args.num_nodes, args.process_id)
+
+    import jax
+    from enhancing_tpu.train import Trainer
+    from enhancing_tpu.utils import get_config_from_file, initialize_from_config
+    from enhancing_tpu.utils.callback import ImageLogger, SetupCallback
+    from enhancing_tpu.utils.logging import WandbLogger
+
+    config = get_config_from_file(Path("configs") / f"{args.config}.yaml")
+    exp_config = {"name": args.config, "epochs": args.epochs,
+                  "update_every": args.update_every, "base_lr": args.base_lr,
+                  "use_amp": args.use_amp,
+                  "batch_frequency": args.batch_frequency,
+                  "max_images": args.max_images}
+
+    # amp: bf16 compute dtype threaded into the model config
+    if args.use_amp and "params" in config.model:
+        config.model["params"]["dtype"] = "bfloat16"
+
+    model = initialize_from_config(config.model)
+
+    now = datetime.now().strftime("%d%m%Y_%H%M%S")
+    basedir = Path("experiments") / args.config / now
+    setup_cb = SetupCallback(config.to_dict(), exp_config, basedir)
+    wandb_logger = WandbLogger(str(basedir), f"{args.config}_{now}",
+                               enabled=True)
+    image_cb = ImageLogger(args.batch_frequency, args.max_images,
+                           logdir=basedir / "log", wandb_logger=wandb_logger)
+
+    data = initialize_from_config(config.dataset)
+    data.prepare_data()
+
+    devices = jax.devices()
+    if args.num_chips:
+        devices = devices[: args.num_chips * max(args.num_nodes, 1)]
+    mesh = make_mesh(model=args.model_parallel, devices=devices)
+
+    trainer = Trainer(max_epochs=args.epochs, base_lr=args.base_lr,
+                      use_amp=args.use_amp,
+                      accumulate_grad_batches=args.update_every,
+                      basedir=str(basedir), seed=args.seed, mesh=mesh,
+                      callbacks=[setup_cb, image_cb],
+                      max_steps=args.max_steps)
+    trainer.fit(model, data)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Data layer: loader, transforms, datasets, tokenizer, native ops."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from enhancing_tpu.data import DataLoader, DataModuleFromConfig, FakeImages
+from enhancing_tpu.data.transforms import (
+    EvalTransform,
+    TrainTransform,
+    center_crop,
+    resize,
+)
+
+REF_VOCAB = "/root/reference/assets/vocab/bpe_simple_vocab_16e6.txt"
+
+
+def test_fake_dataset_deterministic():
+    ds = FakeImages(length=8, resolution=16)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert a["image"].shape == (16, 16, 3)
+    assert a["image"].dtype == np.float32
+
+
+def test_dataloader_batching_and_order():
+    ds = FakeImages(length=20, resolution=8)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=3)
+    batches = list(dl)
+    assert len(batches) == 5
+    assert batches[0]["image"].shape == (4, 8, 8, 3)
+    # deterministic order without shuffle
+    np.testing.assert_array_equal(batches[0]["image"][0], ds[0]["image"])
+    np.testing.assert_array_equal(batches[2]["image"][1], ds[9]["image"])
+
+
+def test_dataloader_shuffle_differs_per_epoch():
+    ds = FakeImages(length=16, resolution=8)
+    dl = DataLoader(ds, batch_size=16, shuffle=True, num_workers=2)
+    e1 = next(iter(dl))["class"]
+    e2 = next(iter(dl))["class"]
+    assert (np.asarray(e1) != np.asarray(e2)).any()
+
+
+def test_dataloader_propagates_worker_errors():
+    class Bad(FakeImages):
+        def __getitem__(self, idx):
+            raise ValueError("boom")
+    dl = DataLoader(Bad(length=4, resolution=8), batch_size=2, num_workers=1)
+    with pytest.raises(ValueError, match="boom"):
+        list(dl)
+
+
+def test_datamodule_from_config():
+    dm = DataModuleFromConfig(
+        batch_size=4,
+        train={"target": "enhancing_tpu.data.fake.FakeImages",
+               "params": {"length": 8, "resolution": 8}},
+        validation={"target": "enhancing_tpu.data.fake.FakeImages",
+                    "params": {"length": 4, "resolution": 8}})
+    dm.setup()
+    assert len(list(dm.train_dataloader())) == 2
+    assert len(list(dm.val_dataloader())) == 1
+
+
+def test_transforms_shapes(rng):
+    img = (rng.random((300, 400, 3)) * 255).astype(np.uint8)
+    t = TrainTransform(64)(img)
+    assert t.shape == (64, 64, 3) and t.dtype == np.float32
+    assert 0.0 <= t.min() and t.max() <= 1.0
+    e = EvalTransform(64)(img)
+    assert e.shape == (64, 64, 3)
+    # resize keeps aspect: shorter side = target
+    r = resize(img, 64)
+    assert min(r.shape[:2]) == 64 and max(r.shape[:2]) == 85
+
+
+def test_classimage_folder(tmp_path, rng):
+    from PIL import Image
+    from enhancing_tpu.data.classimage import ClassImageTrain
+    for cls in ["cat", "dog"]:
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    ds = ClassImageTrain(root=str(tmp_path), resolution=32)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["class"] in (0, 1)
+    assert ds.classes == ["cat", "dog"]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VOCAB),
+                    reason="CLIP vocab data file not present")
+def test_clip_tokenizer_roundtrip():
+    from enhancing_tpu.utils.tokenizer import SimpleTokenizer
+    tok = SimpleTokenizer(bpe_path=REF_VOCAB)
+    assert tok.vocab_size == 49408
+    text = "a photo of a cat sitting on a mat"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    arr = tok.tokenize(text, context_length=77)
+    assert arr.shape == (77,)
+    assert arr[0] == tok.encoder["<|startoftext|>"]
+    eot = tok.encoder["<|endoftext|>"]
+    assert eot in arr.tolist()
+    # batch form
+    arr2 = tok.tokenize([text, "dog"], context_length=16, truncate_text=True)
+    assert arr2.shape == (2, 16)
+
+
+def test_textimage_dataset(tmp_path, rng):
+    from PIL import Image
+    if not os.path.exists(REF_VOCAB):
+        pytest.skip("vocab file missing")
+    from enhancing_tpu.data.textimage import TextImageTrain
+    for i in range(3):
+        arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"s{i}.png")
+        (tmp_path / f"s{i}.txt").write_text(f"sample caption {i}")
+    ds = TextImageTrain(root=str(tmp_path), resolution=32,
+                        tokenizer={"target":
+                                   "enhancing_tpu.utils.tokenizer.SimpleTokenizer",
+                                   "params": {"bpe_path": REF_VOCAB}})
+    assert len(ds) == 3
+    s = ds[1]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["caption"].shape == (77,)
+
+
+def test_srimage_dataset(tmp_path, rng):
+    from PIL import Image
+    from enhancing_tpu.data.srimage import SRImageTrain
+    for i in range(2):
+        arr = (rng.random((300, 300, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.png")
+    ds = SRImageTrain(root=str(tmp_path), resolution=64, downscale=4)
+    s = ds[0]
+    assert s["high resolution"].shape == (64, 64, 3)
+    assert s["low resolution"].shape == (16, 16, 3)
+
+
+def test_cc3m_dataset(tmp_path, rng):
+    from PIL import Image
+    if not os.path.exists(REF_VOCAB):
+        pytest.skip("vocab file missing")
+    from enhancing_tpu.data.cc3m import CC3MTrain
+    (tmp_path / "imgs").mkdir()
+    lines = []
+    for i in range(2):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "imgs" / f"{i}.jpg")
+        lines.append(f"imgs/{i}.jpg\ta caption number {i}")
+    (tmp_path / "train_list.txt").write_text("\n".join(lines))
+    ds = CC3MTrain(root=str(tmp_path), resolution=32,
+                   tokenizer={"target":
+                              "enhancing_tpu.utils.tokenizer.SimpleTokenizer",
+                              "params": {"bpe_path": REF_VOCAB}})
+    assert len(ds) == 2
+    assert ds[0]["image"].shape == (32, 32, 3)
+
+
+def test_native_ops_match_fallback(rng):
+    from enhancing_tpu.data import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    img = (rng.random((50, 70, 3)) * 255).astype(np.uint8)
+    from PIL import Image
+    ref = np.asarray(Image.fromarray(img).resize((32, 32), Image.BILINEAR))
+    out = native.resize_bilinear(img, 32, 32)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+    cf = native.crop_flip_normalize(img, 2, 3, 32, False)
+    np.testing.assert_allclose(cf, img[2:34, 3:35].astype(np.float32) / 255,
+                               atol=1e-6)

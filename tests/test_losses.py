@@ -1,0 +1,200 @@
+"""Losses: GAN fns vs torch semantics, StyleGAN discriminator, upfirdn2d,
+fused leaky relu, LPIPS structure, composite losses, R1."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhancing_tpu.losses import (
+    LPIPS,
+    PatchDiscriminator,
+    StyleDiscriminator,
+    hinge_d_loss,
+    least_square_d_loss,
+    minibatch_stddev,
+    vanilla_d_loss,
+)
+from enhancing_tpu.losses.vqperceptual import VQLPIPSWithDiscriminator
+from enhancing_tpu.ops.fused_act import _fused_xla, fused_leaky_relu
+from enhancing_tpu.ops.upfirdn2d import (
+    _upfirdn2d_pallas_fir,
+    _upfirdn2d_xla,
+    make_blur_kernel,
+    upfirdn2d,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    monkeypatch.setenv("ENHANCING_TPU_PALLAS_INTERPRET", "1")
+
+
+def test_gan_losses_match_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    lf = torch.from_numpy(rng.standard_normal(16).astype(np.float32))
+    lr = torch.from_numpy(rng.standard_normal(16).astype(np.float32))
+    jf, jr = jnp.asarray(lf.numpy()), jnp.asarray(lr.numpy())
+
+    # discriminator mode
+    t = 0.5 * (F.relu(1. + lf).mean() + F.relu(1. - lr).mean())
+    np.testing.assert_allclose(float(hinge_d_loss(jf, jr)), float(t), atol=1e-6)
+    t = 0.5 * (F.softplus(lf).mean() + F.softplus(-lr).mean())
+    np.testing.assert_allclose(float(vanilla_d_loss(jf, jr)), float(t), atol=1e-6)
+    t = 0.5 * ((1 + lf).pow(2).mean() + (1 - lr).pow(2).mean())
+    np.testing.assert_allclose(float(least_square_d_loss(jf, jr)), float(t),
+                               atol=1e-6)
+
+    # generator mode
+    t = 0.5 * (-lf.mean() * 2)
+    np.testing.assert_allclose(float(hinge_d_loss(jf)), float(t), atol=1e-6)
+    t = 0.5 * (F.softplus(-lf).mean() * 2)
+    np.testing.assert_allclose(float(vanilla_d_loss(jf)), float(t), atol=1e-6)
+
+
+def test_upfirdn2d_matches_torch_native(rng):
+    """vs an independent torch implementation of upsample-pad-conv-downsample."""
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    k = np.asarray(make_blur_kernel([1, 3, 3, 1]))
+
+    def torch_upfirdn(x_nhwc, kernel, up, down, pad):
+        # direct re-derivation of the upfirdn semantics
+        t = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2))
+        b, c, h, w = t.shape
+        t = t.reshape(b * c, 1, h, w)
+        if up > 1:
+            z = torch.zeros(b * c, 1, h, up, w, up)
+            z[:, :, :, 0, :, 0] = t.reshape(b * c, 1, h, 1, w, 1)[:, :, :, 0, :, 0]
+            t = z.reshape(b * c, 1, h * up, w * up)
+        t = F.pad(t, (pad[0], pad[1], pad[2], pad[3]))
+        w_ = torch.from_numpy(np.flip(kernel, (0, 1)).copy())[None, None]
+        t = F.conv2d(t, w_)
+        t = t[:, :, ::down, ::down]
+        oh, ow = t.shape[2], t.shape[3]
+        return t.reshape(b, c, oh, ow).numpy().transpose(0, 2, 3, 1)
+
+    for up, down, pad in [(1, 1, (2, 1, 2, 1)), (1, 2, (1, 1, 1, 1)),
+                          (2, 1, (2, 1, 2, 1)), (1, 1, (0, 0, 0, 0))]:
+        ref = torch_upfirdn(x, k, up, down, pad)
+        ours = np.asarray(_upfirdn2d_xla(jnp.asarray(x), jnp.asarray(k),
+                                         up, down, pad))
+        np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                   err_msg=f"up={up} down={down} pad={pad}")
+
+
+def test_upfirdn2d_pallas_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)), jnp.float32)
+    k = make_blur_kernel([1, 3, 3, 1])
+    pad = (2, 1, 2, 1)
+    ref = _upfirdn2d_xla(x, k, 1, 1, pad)
+    taps = tuple(tuple(float(v) for v in row)
+                 for row in np.flip(np.asarray(k), (0, 1)))
+    out = _upfirdn2d_pallas_fir(x, taps, pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_leaky_relu(rng):
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    ref = _fused_xla(x, b, 0.2, 2**0.5)
+    out = fused_leaky_relu(x, b, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # grad of sum: d/dx = scale * (1 or slope)
+    g = jax.grad(lambda x: jnp.sum(fused_leaky_relu(x, b, impl="xla")))(x)
+    t = np.asarray(x) + np.asarray(b)
+    expected = np.where(t >= 0, 2**0.5, 0.2 * 2**0.5)
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
+
+
+def test_minibatch_stddev(rng):
+    x = jnp.asarray(rng.standard_normal((4, 4, 4, 8)), jnp.float32)
+    out = minibatch_stddev(x)
+    assert out.shape == (4, 4, 4, 9)
+    # constant input across batch -> stddev channel ~ 0 (plus eps)
+    xc = jnp.ones((4, 4, 4, 8))
+    out_c = minibatch_stddev(xc)
+    assert float(out_c[..., -1].max()) < 1e-3
+
+
+def test_style_discriminator(rng):
+    d = StyleDiscriminator(size=32)
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    vs = d.init(jax.random.PRNGKey(0), x)
+    logits = d.apply(vs, x)
+    assert logits.shape == (4,)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_patch_discriminator(rng):
+    d = PatchDiscriminator(n_layers=2)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    vs = d.init(jax.random.PRNGKey(0), x)
+    out = d.apply(vs, x)
+    assert out.ndim == 4 and out.shape[-1] == 1
+
+
+def test_lpips_structure(rng):
+    m = LPIPS()
+    x = jnp.asarray(rng.random((2, 32, 32, 3)) * 2 - 1, jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), x, x)
+    # identical inputs -> zero distance
+    d0 = m.apply(vs, x, x)
+    np.testing.assert_allclose(np.asarray(d0), 0.0, atol=1e-6)
+    y = jnp.asarray(rng.random((2, 32, 32, 3)) * 2 - 1, jnp.float32)
+    d1 = m.apply(vs, x, y)
+    assert d1.shape == (2,)
+
+
+def test_vgg16_param_count():
+    """13 convs with torchvision vgg16 channel plan."""
+    from enhancing_tpu.losses import VGG16Features
+    m = VGG16Features()
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    convs = list(vs["params"].keys())
+    assert len(convs) == 13
+    assert vs["params"]["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+    assert vs["params"]["conv5_3"]["kernel"].shape == (3, 3, 512, 512)
+
+
+@pytest.fixture(scope="module")
+def vq_disc_loss():
+    return VQLPIPSWithDiscriminator(image_size=32, disc_loss="vanilla",
+                                    adversarial_weight=0.1)
+
+
+def test_generator_and_disc_losses(vq_disc_loss, rng):
+    loss_obj = vq_disc_loss
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    xrec = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    qloss = jnp.float32(0.1)
+
+    g, log = loss_obj.generator_loss(qloss, x, xrec,
+                                     loss_obj.disc_init_params, 1.0)
+    assert np.isfinite(float(g))
+    assert "train/g_loss" in log and "train/rec_loss" in log
+
+    d, dlog = loss_obj.discriminator_loss(loss_obj.disc_init_params, x, xrec,
+                                          1.0, do_r1=False)
+    assert np.isfinite(float(d))
+
+    # disc_factor gates the loss (warmup): factor 0 -> loss exactly 0
+    d0, _ = loss_obj.discriminator_loss(loss_obj.disc_init_params, x, xrec,
+                                        0.0, do_r1=False)
+    np.testing.assert_allclose(float(d0), 0.0, atol=1e-7)
+
+
+def test_r1_penalty(vq_disc_loss, rng):
+    loss_obj = vq_disc_loss
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    xrec = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    d_plain, _ = loss_obj.discriminator_loss(loss_obj.disc_init_params, x,
+                                             xrec, 1.0, do_r1=False)
+    d_r1, log = loss_obj.discriminator_loss(loss_obj.disc_init_params, x,
+                                            xrec, 1.0, do_r1=True)
+    assert "train/r1_reg" in log
+    assert float(log["train/r1_reg"]) > 0
+    assert float(d_r1) > float(d_plain)

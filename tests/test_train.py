@@ -1,0 +1,134 @@
+"""End-to-end training tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhancing_tpu.data import DataModuleFromConfig
+from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+from enhancing_tpu.parallel import make_mesh
+from enhancing_tpu.train import Trainer
+
+TINY = dict(dim=64, depth=2, heads=2, mlp_dim=128)
+Q = dict(embed_dim=16, n_embed=64)
+
+FAKE_DATA = {
+    "target": "enhancing_tpu.data.DataModuleFromConfig",
+    "params": {
+        "batch_size": 8,
+        "num_workers": 2,
+        "train": {"target": "enhancing_tpu.data.fake.FakeImages",
+                  "params": {"length": 32, "resolution": 32}},
+        "validation": {"target": "enhancing_tpu.data.fake.FakeImages",
+                       "params": {"length": 16, "resolution": 32, "seed": 9}},
+    },
+}
+
+
+def build_data():
+    from enhancing_tpu.utils.config import initialize_from_config
+    return initialize_from_config(FAKE_DATA)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_vitvq_trains_and_loss_decreases(tmp_path):
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q,
+                  loss={"target":
+                        "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    trainer = Trainer(max_epochs=4, base_lr=3e-4, basedir=str(tmp_path),
+                      log_every=1000)
+    data = build_data()
+    trainer.fit(model, data)
+
+    # loss decreased: reconstruct train images and check MSE is small-ish
+    x = np.stack([data.datasets["train"][i]["image"] for i in range(8)])
+    rec, _ = model(x)
+    mse_trained = float(np.mean((np.asarray(rec) - x) ** 2))
+
+    fresh = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q)
+    rec0, _ = fresh(x)
+    mse_fresh = float(np.mean((np.asarray(rec0) - x) ** 2))
+    assert mse_trained < mse_fresh, (mse_trained, mse_fresh)
+
+    # checkpoints were written
+    assert any((tmp_path / "ckpt").iterdir())
+
+
+def test_vitvq_gan_training_runs(tmp_path):
+    """Full two-optimizer GAN step incl. lazy R1 executes and stays finite."""
+    model = ViTVQ(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY, quantizer=Q,
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 32, "perceptual_weight": 0.0,
+                         "adversarial_weight": 0.1, "do_r1_every": 2,
+                         "disc_loss": "hinge"}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000,
+                      max_steps=4)
+    trainer.fit(model, build_data())
+    state = trainer.final_state
+    assert int(state.step) == 4
+    for leaf in jax.tree.leaves(state.ae_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    for leaf in jax.tree.leaves(state.disc_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_vitvq_adaptive_adv_weight_runs():
+    model = ViTVQ(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY, quantizer=Q,
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 32, "perceptual_weight": 0.0,
+                         "use_adaptive_adv": True}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2)
+    trainer.fit(model, build_data())
+    assert int(trainer.final_state.step) == 2
+
+
+def test_gumbel_training_runs():
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQGumbel
+    model = ViTVQGumbel(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY, quantizer=Q,
+        loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+              "params": {"image_size": 32, "perceptual_weight": 0.0}},
+        temperature_scheduler={
+            "target":
+            "enhancing_tpu.train.optim.ExponentialDecayScheduler",
+            "params": {"start": 1.0, "end": 0.1, "decay_every_step": 1,
+                       "scale_factor": 0.01}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2)
+    trainer.fit(model, build_data())
+    assert int(trainer.final_state.step) == 2
+
+
+def test_cond_transformer_training(tmp_path):
+    from enhancing_tpu.models.stage2.transformer import CondTransformer
+    model = CondTransformer(
+        cond_key="class",
+        cond={"target": "enhancing_tpu.models.cond.dummycond.ClassCond",
+              "params": {"image_size": 32, "class_name": ["a", "b", "c"]}},
+        stage1={"target": "enhancing_tpu.models.stage1.vitvqgan.ViTVQ",
+                "params": {"image_size": 32, "patch_size": 8,
+                           "encoder": TINY, "decoder": TINY, "quantizer": Q}},
+        transformer={"target": "enhancing_tpu.models.stage2.layers.GPT",
+                     "params": {"vocab_cond_size": 1000, "vocab_img_size": 64,
+                                "embed_dim": 32, "cond_num_tokens": 1,
+                                "img_num_tokens": 16, "n_heads": 2,
+                                "n_layers": 2}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-3, log_every=1000, max_steps=3)
+    trainer.fit(model, build_data())
+    assert int(trainer.final_state.step) == 3
+
+    # sampling produces pixels
+    pixels = model.sample(jnp.asarray([[0], [1]]), top_k=8)
+    assert pixels.shape == (2, 32, 32, 3)
+    assert float(pixels.min()) >= 0.0 and float(pixels.max()) <= 1.0
