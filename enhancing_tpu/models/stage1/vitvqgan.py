@@ -153,7 +153,8 @@ class ViTVQ:
             dtype=jnp.dtype(dtype), remat=remat)
 
         rng = jax.random.PRNGKey(seed)
-        sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        channels = int((encoder or {}).get("channels", 3))
+        sample = jnp.zeros((1, image_size, image_size, channels), jnp.float32)
         variables = self.module.init({"params": rng, "gumbel": rng}, sample)
         self.params = variables["params"]
         self.constants = variables.get("constants", FrozenDict())

@@ -63,9 +63,9 @@ def _attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, mask_mode: str,
                  cond_len: int, block_q: int):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)          # (block_q, D)
-    k = k_ref[0].astype(jnp.float32)          # (N, D)
-    v = v_ref[0]                               # (N, D)
+    q = q_ref[0]                               # (block_q, D) — keep bf16:
+    k = k_ref[0]                               # MXU multiplies bf16 natively
+    v = v_ref[0]                               # with fp32 accumulation
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -85,7 +85,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, mask_mode: str,
 
 def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                       mask_mode: str, cond_len: int,
-                      block_q: int = 256) -> jax.Array:
+                      block_q: int | None = None) -> jax.Array:
     b, h, n, d = q.shape
     m = k.shape[2]
     bh = b * h
@@ -93,6 +93,13 @@ def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     k3 = k.reshape(bh, m, d)
     v3 = v.reshape(bh, m, d)
 
+    if block_q is None:
+        # Largest q-block whose fp32 score tile fits a 4MB VMEM budget —
+        # measured 43.3 vs 35.2 TFLOP/s for 1024 vs 256 at N=1024 on v5e.
+        budget = 4 * 1024 * 1024
+        block_q = 1024
+        while block_q > 128 and block_q * m * 4 > budget:
+            block_q //= 2
     block_q = min(block_q, n)
     grid = (bh, cdiv(n, block_q))
 

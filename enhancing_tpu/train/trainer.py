@@ -139,7 +139,9 @@ class Trainer:
                 temp = jnp.float32(self._gumbel_temp(model))
                 do_r1 = bool(do_r1_every) and batch_idx % do_r1_every == 0
                 state, log = train_step(state, x, step_rng, temp, do_r1=do_r1)
-                self.global_step = int(state.step)
+                # host-side counter: int(state.step) would force a device
+                # sync every step and stall the dispatch pipeline
+                self.global_step += 1
                 self._maybe_log(log, epoch)
                 model.params = state.ae_params  # keep wrapper in sync
                 for il in image_loggers:
@@ -182,7 +184,7 @@ class Trainer:
                     conds = conds[:, None]
                 conds = self._shard(conds)
                 state, log = train_step(state, images, conds)
-                self.global_step = int(state.step)
+                self.global_step += 1
                 self._maybe_log(log, epoch)
                 model.params = state.params
                 for il in image_loggers:
