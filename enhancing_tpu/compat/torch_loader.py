@@ -189,27 +189,51 @@ def load_gpt_params(path: str, params: Any,
             _set(params, [pos], sd[pos])
             loaded.add(pos)
 
+    def map_block_weight(rest: str):
+        """torch per-layer key suffix -> (our path within a block, transform)."""
+        table = {
+            "ln1.weight": (["ln1", "scale"], None),
+            "ln1.bias": (["ln1", "bias"], None),
+            "ln2.weight": (["ln2", "scale"], None),
+            "ln2.bias": (["ln2", "bias"], None),
+            "attn.time_mix": (["attn", "time_mix"], None),
+        }
+        for proj in ("key", "query", "value", "proj"):
+            table[f"attn.{proj}.weight"] = (["attn", proj, "kernel"], "T")
+            table[f"attn.{proj}.bias"] = (["attn", proj, "bias"], None)
+        for p in ("p0", "p1"):
+            table[f"mlp.{p}.weight"] = (["mlp", p, "kernel"], "T")
+            table[f"mlp.{p}.bias"] = (["mlp", p, "bias"], None)
+        return table.get(rest)
+
     block_maps = [("blocks", "blocks"), ("spatial_transformer", "spatial"),
                   ("depth_transformer", "depth")]
     for src_stack, dst_stack in block_maps:
-        pat = re.compile(re.escape(src_stack) + r"\.(\d+)\.(.+?)\.(weight|bias)$")
-        idxs = {int(m.group(1)) for k in sd if (m := pat.match(k))}
-        for i in sorted(idxs):
-            base = f"{src_stack}.{i}"
-            dbase = [f"{dst_stack}_{i}"]
-            for ln in ("ln1", "ln2"):
-                if f"{base}.{ln}.weight" in sd:
-                    _set(params, dbase + [ln, "scale"], sd[f"{base}.{ln}.weight"])
-                    _set(params, dbase + [ln, "bias"], sd[f"{base}.{ln}.bias"])
-                    loaded |= {f"{base}.{ln}.weight", f"{base}.{ln}.bias"}
-            for proj in ("key", "query", "value", "proj"):
-                linear(f"{base}.attn.{proj}", dbase + ["attn", proj])
-            if f"{base}.attn.time_mix" in sd:
-                _set(params, dbase + ["attn", "time_mix"],
-                     sd[f"{base}.attn.time_mix"])
-                loaded.add(f"{base}.attn.time_mix")
-            linear(f"{base}.mlp.p0", dbase + ["mlp", "p0"])
-            linear(f"{base}.mlp.p1", dbase + ["mlp", "p1"])
+        pat = re.compile(re.escape(src_stack) + r"\.(\d+)\.(.+)$")
+        per_layer: Dict[str, Dict[int, np.ndarray]] = {}
+        for key in sd:
+            m = pat.match(key)
+            if not m:
+                continue
+            i, rest = int(m.group(1)), m.group(2)
+            mapping = map_block_weight(rest)
+            if mapping is None:
+                continue
+            path, tf = mapping
+            val = sd[key].T if tf == "T" else sd[key]
+            per_layer.setdefault("/".join(path), {})[i] = val
+            loaded.add(key)
+        if not per_layer:
+            continue
+        stacked_layout = dst_stack in params  # scan-over-layers param tree
+        for path_str, by_idx in per_layer.items():
+            path = path_str.split("/")
+            vals = [by_idx[i] for i in sorted(by_idx)]
+            if stacked_layout:
+                _set(params, [dst_stack] + path, np.stack(vals, axis=0))
+            else:
+                for i, v in zip(sorted(by_idx), vals):
+                    _set(params, [f"{dst_stack}_{i}"] + path, v)
 
     for ln_src, ln_dst in [("layer_norm", "layer_norm"),
                            ("ln_spatial", "ln_spatial"),

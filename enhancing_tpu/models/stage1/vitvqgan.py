@@ -100,15 +100,19 @@ class ViTVQModule(nn.Module):
         return self.decode(quant), emb_loss, codes
 
     def forward_training(self, x, temp=None, deterministic=True):
-        """(xrec, qloss, pre_pixel_tokens) — the extra aux output lets the
-        train step form last-layer gradients for the adaptive adversarial
+        """(xrec, qloss, pre_pixel_tokens, codes) — the aux outputs let the
+        train step (a) form last-layer gradients for the adaptive adversarial
         weight (reference vqperceptual.py:95-103) with one cheap einsum
-        instead of extra full backward passes."""
-        quant, emb_loss = self.encode(x, temp, deterministic)
+        instead of extra full backward passes, and (b) log codebook-usage
+        metrics without a second encoder pass."""
+        h = self.enc(x)
+        h = self.pre_quant(h)
+        quant, emb_loss, codes = self._run_quantizer(
+            h.astype(jnp.float32), temp, deterministic)
         tokens = self.dec.pre_pixel_tokens(self.post_quant(
             quant.astype(self.dtype)))
         xrec = self.dec.pixels_from_tokens(tokens)
-        return xrec, emb_loss, tokens
+        return xrec, emb_loss, tokens, codes
 
 
 def _as_nhwc(x: jax.Array) -> jax.Array:

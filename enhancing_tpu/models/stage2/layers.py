@@ -95,31 +95,42 @@ class MultiHeadSelfAttention(nn.Module):
     def decode(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                cur_len: jax.Array, shift_prev: jax.Array
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """One-token cached decode.
+        """One-token cached decode — READ-ONLY on the cache.
+
+        The new token's K/V are returned to the caller instead of written
+        into the buffers here: attention treats the current token as an
+        extra (q·k_new) branch folded into the softmax. This keeps the big
+        cache out of layer-scan outputs — otherwise every token step would
+        copy the entire multi-hundred-MB KV stack through the scan's ys,
+        doubling the already bandwidth-bound decode traffic.
 
         Args:
           x: (B, 1, C) current-token activations (already LN'd).
-          k_cache / v_cache: (B, H, ctx_len, hd) preallocated buffers.
+          k_cache / v_cache: (B, H, ctx_len, hd), positions < cur_len valid.
           cur_len: number of valid cache positions before this token.
           shift_prev: (B, C) previous token's LN'd activation for token-shift.
-        Returns: (attn_out (B,1,C), new_k_cache, new_v_cache)
+        Returns: (attn_out (B,1,C), k_new (B,H,1,hd), v_new (B,H,1,hd))
         """
         b = x.shape[0]
         x = self._token_shift(x, prev=shift_prev)
-        q, k, v = self._qkv(x)                       # (B, H, 1, hd)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, cur_len, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, cur_len, 0))
+        q, k_new, v_new = self._qkv(x)               # (B, H, 1, hd)
+        qf = q.astype(jnp.float32)
 
-        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf,
                        k_cache.astype(jnp.float32)) * self.head_dim**-0.5
         pos = jnp.arange(k_cache.shape[2])
-        s = jnp.where(pos[None, None, None, :] <= cur_len, s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_cache.dtype), v_cache)
+        s = jnp.where(pos[None, None, None, :] < cur_len, s, -1e30)
+        s_self = jnp.sum(qf * k_new.astype(jnp.float32), axis=-1,
+                         keepdims=True) * self.head_dim**-0.5  # (B,H,1)
+        m = jnp.maximum(jnp.max(s, axis=-1), s_self[..., 0])[..., None]
+        e = jnp.exp(s - m)
+        e_self = jnp.exp(s_self[..., 0] - m[..., 0])           # (B,H,1)
+        denom = jnp.sum(e, axis=-1) + e_self                    # (B,H,1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v_cache.dtype), v_cache)
+        y = (y + e_self[..., None].astype(v_new.dtype) * v_new) \
+            / denom[..., None].astype(v_new.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
-        return self.proj(y), k_cache, v_cache
+        return self.proj(y), k_new, v_new
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -179,14 +190,15 @@ class Block(nn.Module):
         return x
 
     def decode(self, x, k_cache, v_cache, cur_len, shift_prev):
-        """Returns (x, k_cache, v_cache, new_shift_state)."""
+        """Returns (x, k_new, v_new, new_shift_state) — cache is read-only;
+        the caller writes the new column into the stacked buffers."""
         h = self.ln1(x)
         new_shift = h[:, -1, :]
-        a, k_cache, v_cache = self.attn.decode(h, k_cache, v_cache, cur_len,
-                                               shift_prev)
+        a, k_new, v_new = self.attn.decode(h, k_cache, v_cache, cur_len,
+                                           shift_prev)
         x = x + a
         x = x + self.mlp(self.ln2(x))
-        return x, k_cache, v_cache, new_shift
+        return x, k_new, v_new, new_shift
 
     def prefill(self, x, k_cache, v_cache):
         h = self.ln1(x)
@@ -195,6 +207,25 @@ class Block(nn.Module):
         x = x + a
         x = x + self.mlp(self.ln2(x))
         return x, k_cache, v_cache, new_shift
+
+    # -- scan-over-layers adapters (carry, xs) -> (carry, ys) -----------------
+    # Wrapped by nn.scan so an L-layer stack compiles as ONE block body
+    # instead of L inlined copies — essential for the shipped 24-layer GPT
+    # whose unrolled decode graph takes minutes to compile.
+
+    def scan_call(self, x, _):
+        return self(x), None
+
+    def scan_decode(self, carry, kvs):
+        x, cur_len = carry
+        k, v, shift = kvs
+        x, k2, v2, s2 = self.decode(x, k, v, cur_len, shift)
+        return (x, cur_len), (k2, v2, s2)
+
+    def scan_prefill(self, x, kvs):
+        k, v = kvs
+        x, k2, v2, s2 = self.prefill(x, k, v)
+        return x, (k2, v2, s2)
 
 
 class GPT(nn.Module):
@@ -210,6 +241,8 @@ class GPT(nn.Module):
     mlp_bias: bool = True
     attn_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = True
+    remat: bool = False
 
     @property
     def ctx_len(self) -> int:
@@ -224,14 +257,35 @@ class GPT(nn.Module):
                                      embedding_init=normal_init)
         self.pos_emb_code = self.param("pos_emb_code", nn.initializers.zeros,
                                        (1, self.img_num_tokens, self.embed_dim))
-        self.blocks = [Block(embed_dim=self.embed_dim, n_heads=self.n_heads,
-                             cond_len=self.cond_num_tokens,
-                             mlp_bias=self.mlp_bias, attn_bias=self.attn_bias,
-                             dtype=self.dtype, name=f"blocks_{i}")
-                       for i in range(self.n_layers)]
+        block_kw = dict(embed_dim=self.embed_dim, n_heads=self.n_heads,
+                        cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
+                        attn_bias=self.attn_bias, dtype=self.dtype)
+        if self.scan_layers:
+            # one compiled block body shared by all layers (stacked params)
+            target = nn.remat(Block) if self.remat else Block
+            scanned = nn.scan(
+                target,
+                variable_axes={"params": 0, "constants": 0},
+                split_rngs={"params": True},
+                length=self.n_layers,
+                methods=["scan_call", "scan_decode", "scan_prefill"])
+            self.blocks_stack = scanned(**block_kw, name="blocks")
+            self.blocks = None
+        else:
+            self.blocks = [Block(**block_kw, name=f"blocks_{i}")
+                           for i in range(self.n_layers)]
         self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.head = nn.Dense(self.vocab_img_size, use_bias=False,
                              kernel_init=normal_init, dtype=self.dtype)
+
+    def _run_blocks(self, x: jax.Array) -> jax.Array:
+        if self.scan_layers:
+            x, _ = self.blocks_stack.scan_call(
+                x, jnp.zeros((self.n_layers, 0)))
+            return x
+        for block in self.blocks:
+            x = block(x)
+        return x
 
     def __call__(self, codes: jax.Array, conds: jax.Array) -> jax.Array:
         """codes: (B, img_num_tokens) int, conds: (B, cond_num_tokens) int.
@@ -244,8 +298,7 @@ class GPT(nn.Module):
         ce = self.tok_emb_code(codes) + self.pos_emb_code.astype(self.dtype)
         cc = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
         x = jnp.concatenate([cc, ce], axis=1)
-        for block in self.blocks:
-            x = block(x)
+        x = self._run_blocks(x)
         x = self.layer_norm(x)
         x = x[:, self.cond_num_tokens - 1:-1]
         return self.head(x)
@@ -262,20 +315,54 @@ class GPT(nn.Module):
             "shift": jnp.zeros((self.n_layers, batch, self.embed_dim), dtype),
         }
 
+    def _stack_prefill(self, x, cache):
+        """Run all layers' prefill; returns (x, new cache)."""
+        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        if self.scan_layers:
+            x, (k_all, v_all, s_new) = self.blocks_stack.scan_prefill(
+                x, (k_all, v_all))
+            s_all = s_new.astype(s_all.dtype)
+        else:
+            for i, block in enumerate(self.blocks):
+                x, k, v, s = block.prefill(x, k_all[i], v_all[i])
+                k_all = k_all.at[i].set(k)
+                v_all = v_all.at[i].set(v)
+                s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        return x, {"k": k_all, "v": v_all, "shift": s_all}
+
+    def _stack_decode(self, x, cur_len, cache):
+        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        if self.scan_layers:
+            (x, _), (k_news, v_news, s_new) = self.blocks_stack.scan_decode(
+                (x, cur_len), (k_all, v_all, s_all))
+            s_all = s_new.astype(s_all.dtype)
+        else:
+            k_cols, v_cols, s_cols = [], [], []
+            for i, block in enumerate(self.blocks):
+                x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len,
+                                          s_all[i])
+                k_cols.append(k)
+                v_cols.append(v)
+                s_cols.append(s)
+            k_news = jnp.stack(k_cols)
+            v_news = jnp.stack(v_cols)
+            s_all = jnp.stack(s_cols).astype(s_all.dtype)
+        # single in-place column write per stack (L, B, H, ctx, hd)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_news.astype(k_all.dtype), (0, 0, 0, cur_len, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_news.astype(v_all.dtype), (0, 0, 0, cur_len, 0))
+        return x, {"k": k_all, "v": v_all, "shift": s_all}
+
     def prefill(self, conds: jax.Array, cache: Dict[str, jax.Array]
                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Run the condition prefix; returns logits for code token 0."""
         conds = conds.reshape(conds.shape[0], -1)
         x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
-        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
-        for i, block in enumerate(self.blocks):
-            x, k, v, s = block.prefill(x, k_all[i], v_all[i])
-            k_all = k_all.at[i].set(k)
-            v_all = v_all.at[i].set(v)
-            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        x, cache = self._stack_prefill(x, cache)
         x = self.layer_norm(x)
         logits = self.head(x[:, self.cond_num_tokens - 1])
-        return logits, {"k": k_all, "v": v_all, "shift": s_all}
+        return logits, cache
 
     def decode_step(self, token: jax.Array, step: jax.Array,
                     cache: Dict[str, jax.Array]
@@ -287,15 +374,10 @@ class GPT(nn.Module):
         pos = jnp.take(self.pos_emb_code[0], step - 1, axis=0)
         x = self.tok_emb_code(token)[:, None, :] + pos[None, None, :].astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
-        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
-        for i, block in enumerate(self.blocks):
-            x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len, s_all[i])
-            k_all = k_all.at[i].set(k)
-            v_all = v_all.at[i].set(v)
-            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        x, cache = self._stack_decode(x, cur_len, cache)
         x = self.layer_norm(x)
         logits = self.head(x[:, -1])
-        return logits, {"k": k_all, "v": v_all, "shift": s_all}
+        return logits, cache
 
 
 class RQTransformer(nn.Module):
@@ -318,6 +400,8 @@ class RQTransformer(nn.Module):
     mlp_bias: bool = True
     attn_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = True
+    remat: bool = False
 
     @property
     def ctx_len(self) -> int:
@@ -337,18 +421,33 @@ class RQTransformer(nn.Module):
             "pos_emb_depth", uniform_init,
             (1, self.depth_num_tokens - 1, self.embed_dim))
 
-        self.spatial_transformer = [
-            Block(embed_dim=self.embed_dim, n_heads=self.spatial_n_heads,
-                  cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
-                  attn_bias=self.attn_bias, dtype=self.dtype,
-                  name=f"spatial_{i}")
-            for i in range(self.spatial_n_layers)]
-        self.depth_transformer = [
-            Block(embed_dim=self.embed_dim, n_heads=self.depth_n_heads,
-                  cond_len=0, mlp_bias=self.mlp_bias,
-                  attn_bias=self.attn_bias, dtype=self.dtype,
-                  name=f"depth_{i}")
-            for i in range(self.depth_n_layers)]
+        sp_kw = dict(embed_dim=self.embed_dim, n_heads=self.spatial_n_heads,
+                     cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
+                     attn_bias=self.attn_bias, dtype=self.dtype)
+        dp_kw = dict(embed_dim=self.embed_dim, n_heads=self.depth_n_heads,
+                     cond_len=0, mlp_bias=self.mlp_bias,
+                     attn_bias=self.attn_bias, dtype=self.dtype)
+        if self.scan_layers:
+            target = nn.remat(Block) if self.remat else Block
+            def scanned(length):
+                return nn.scan(
+                    target,
+                    variable_axes={"params": 0, "constants": 0},
+                    split_rngs={"params": True}, length=length,
+                    methods=["scan_call", "scan_decode", "scan_prefill"])
+            self.spatial_stack = scanned(self.spatial_n_layers)(
+                **sp_kw, name="spatial")
+            self.depth_stack = scanned(self.depth_n_layers)(
+                **dp_kw, name="depth")
+            self.spatial_transformer = None
+            self.depth_transformer = None
+        else:
+            self.spatial_transformer = [
+                Block(**sp_kw, name=f"spatial_{i}")
+                for i in range(self.spatial_n_layers)]
+            self.depth_transformer = [
+                Block(**dp_kw, name=f"depth_{i}")
+                for i in range(self.depth_n_layers)]
 
         self.ln_spatial = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ln_depth = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -373,16 +472,24 @@ class RQTransformer(nn.Module):
         spatial_in = code_sum + self.pos_emb_code.astype(self.dtype)
 
         h = jnp.concatenate([cc, spatial_in], axis=1)
-        for block in self.spatial_transformer:
-            h = block(h)
+        if self.scan_layers:
+            h, _ = self.spatial_stack.scan_call(
+                h, jnp.zeros((self.spatial_n_layers, 0)))
+        else:
+            for block in self.spatial_transformer:
+                h = block(h)
         h = self.ln_spatial(h)
         h = h[:, self.cond_num_tokens - 1:-1]                # (B, T, C)
 
         v = csum[..., :-1, :] + self.pos_emb_depth.astype(self.dtype)
         v = jnp.concatenate([h[:, :, None, :], v], axis=2)   # (B, T, D, C)
         v = v.reshape(-1, *v.shape[2:])                      # (B*T, D, C)
-        for block in self.depth_transformer:
-            v = block(v)
+        if self.scan_layers:
+            v, _ = self.depth_stack.scan_call(
+                v, jnp.zeros((self.depth_n_layers, 0)))
+        else:
+            for block in self.depth_transformer:
+                v = block(v)
         return self.head(self.ln_depth(v))                   # (B*T, D, vocab)
 
     # -- cached sampling --------------------------------------------------------
@@ -404,11 +511,16 @@ class RQTransformer(nn.Module):
         conds = conds.reshape(conds.shape[0], -1)
         x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
-        for i, block in enumerate(self.spatial_transformer):
-            x, k, v, s = block.prefill(x, k_all[i], v_all[i])
-            k_all = k_all.at[i].set(k)
-            v_all = v_all.at[i].set(v)
-            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        if self.scan_layers:
+            x, (k_all, v_all, s_new) = self.spatial_stack.scan_prefill(
+                x, (k_all, v_all))
+            s_all = s_new.astype(s_all.dtype)
+        else:
+            for i, block in enumerate(self.spatial_transformer):
+                x, k, v, s = block.prefill(x, k_all[i], v_all[i])
+                k_all = k_all.at[i].set(k)
+                v_all = v_all.at[i].set(v)
+                s_all = s_all.at[i].set(s.astype(s_all.dtype))
         x = self.ln_spatial(x)
         hidden = x[:, self.cond_num_tokens - 1]
         return hidden, {"k": k_all, "v": v_all, "shift": s_all}
@@ -420,11 +532,25 @@ class RQTransformer(nn.Module):
             + pos[None, None, :].astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
-        for i, block in enumerate(self.spatial_transformer):
-            x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len, s_all[i])
-            k_all = k_all.at[i].set(k)
-            v_all = v_all.at[i].set(v)
-            s_all = s_all.at[i].set(s.astype(s_all.dtype))
+        if self.scan_layers:
+            (x, _), (k_news, v_news, s_new) = self.spatial_stack.scan_decode(
+                (x, cur_len), (k_all, v_all, s_all))
+            s_all = s_new.astype(s_all.dtype)
+        else:
+            k_cols, v_cols, s_cols = [], [], []
+            for i, block in enumerate(self.spatial_transformer):
+                x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len,
+                                          s_all[i])
+                k_cols.append(k)
+                v_cols.append(v)
+                s_cols.append(s)
+            k_news = jnp.stack(k_cols)
+            v_news = jnp.stack(v_cols)
+            s_all = jnp.stack(s_cols).astype(s_all.dtype)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_news.astype(k_all.dtype), (0, 0, 0, cur_len, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_news.astype(v_all.dtype), (0, 0, 0, cur_len, 0))
         x = self.ln_spatial(x)
         return x[:, -1], {"k": k_all, "v": v_all, "shift": s_all}
 
@@ -446,8 +572,12 @@ class RQTransformer(nn.Module):
         pos_d = jnp.pad(self.pos_emb_depth[0], ((0, 1), (0, 0)))  # (Dmax, C)
         v = jnp.concatenate(
             [hidden[:, None, :], csum[:, :-1] + pos_d[None, :-1]], axis=1)
-        for block in self.depth_transformer:
-            v = block(v)
+        if self.scan_layers:
+            v, _ = self.depth_stack.scan_call(
+                v, jnp.zeros((self.depth_n_layers, 0)))
+        else:
+            for block in self.depth_transformer:
+                v = block(v)
         v = self.ln_depth(v)
         out = jnp.take_along_axis(
             v, jnp.broadcast_to(d, (b,))[:, None, None].astype(jnp.int32),

@@ -98,6 +98,15 @@ class CondTransformer:
             self.cond_model.encode_codes(conds))
         if cond_codes.ndim == 1:
             cond_codes = cond_codes[:, None]
+        # out-of-vocab condition ids silently gather garbage (NaN losses) —
+        # fail loudly on host instead (token conditions only)
+        if jnp.issubdtype(cond_codes.dtype, jnp.integer) and cond_codes.size:
+            vmax = int(np.asarray(cond_codes).max())
+            if vmax >= self.transformer.vocab_cond_size:
+                raise ValueError(
+                    f"condition id {vmax} >= vocab_cond_size="
+                    f"{self.transformer.vocab_cond_size}; check the dataset's "
+                    f"class range vs the transformer config")
         return codes, cond_codes.astype(jnp.int32)
 
     def shared_step(self, batch: Dict[str, Any], params=None) -> jax.Array:

@@ -173,10 +173,14 @@ def upfirdn2d(x: jax.Array, kernel: jax.Array, up: int = 1, down: int = 1,
     return _upfirdn2d_xla(x, jnp.asarray(kernel, jnp.float32), up, down, pad4)
 
 
-def make_blur_kernel(taps) -> jax.Array:
+def make_blur_kernel(taps, upsample_factor: int = 1) -> jax.Array:
     """1-D taps -> normalized 2-D separable blur kernel (reference Blur,
-    enhancing/losses/layers.py:140-160)."""
+    enhancing/losses/layers.py:140-160; the upsample_factor**2 gain
+    compensates zero-stuffed upsampling)."""
     k = jnp.asarray(taps, jnp.float32)
     if k.ndim == 1:
         k = k[None, :] * k[:, None]
-    return k / jnp.sum(k)
+    k = k / jnp.sum(k)
+    if upsample_factor > 1:
+        k = k * (upsample_factor ** 2)
+    return k

@@ -25,7 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
 
-# (path regex, PartitionSpec) — first match wins; applied to 2-D kernels only.
+# (path regex, PartitionSpec) — first match wins. Specs are written for the
+# *matrix* dims; scan-stacked layers (kernels with a leading layer axis,
+# params under 'blocks'/'spatial'/'depth') get a leading None prepended.
 _GPT_RULES = [
     (re.compile(r"attn/(key|query|value)/kernel$"), P(None, MODEL_AXIS)),
     (re.compile(r"attn/proj/kernel$"), P(MODEL_AXIS, None)),
@@ -43,11 +45,16 @@ def _path_str(path) -> str:
 
 
 def gpt_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec tree for a GPT/RQTransformer param tree."""
+    """PartitionSpec tree for a GPT/RQTransformer param tree (handles both
+    per-layer ``blocks_{i}`` and scan-stacked ``blocks`` layouts)."""
     def spec_for(path, leaf):
         name = _path_str(path)
         for pat, spec in _GPT_RULES:
             if pat.search(name):
+                matrix_ndim = len(spec)
+                extra = leaf.ndim - matrix_ndim
+                if extra > 0:  # scan-stacked: leading layer axis unsharded
+                    return P(*([None] * extra), *spec)
                 return spec
         return P()
     return jax.tree_util.tree_map_with_path(spec_for, params)

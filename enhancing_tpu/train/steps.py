@@ -51,11 +51,21 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
     is_gumbel = module.quantizer_type == "gumbel"
     use_adaptive = getattr(loss_obj, "use_adaptive_adv", False)
 
+    n_embed = module.quantizer["n_embed"]
+
     def forward(params, x, temp, rng):
         variables = {"params": params, "constants": constants}
         rngs = {"gumbel": rng} if is_gumbel else None
         return module.apply(variables, x, temp, not is_gumbel,
                             method="forward_training", rngs=rngs)
+
+    def code_perplexity(codes):
+        """Codebook-health metric: exp(entropy) of the batch code histogram
+        (not in the reference — SURVEY §5 observability gap)."""
+        hist = jnp.zeros((n_embed,), jnp.float32).at[codes.reshape(-1)].add(1.0)
+        p = hist / jnp.maximum(jnp.sum(hist), 1.0)
+        ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
+        return jnp.exp(ent), jnp.sum(hist > 0)
 
     patch = module.patch_size
     ph, pw = (patch, patch) if isinstance(patch, int) else patch
@@ -90,21 +100,21 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
 
         d_weight = None
         if has_disc and use_adaptive:
-            xrec0, _, tokens0 = forward(state.ae_params, x, temp, rng_ae)
+            xrec0, _, tokens0, _ = forward(state.ae_params, x, temp, rng_ae)
             d_weight = adaptive_d_weight(state.disc_params, x, xrec0, tokens0)
 
         # ---- phase 0: autoencoder (reference optimizer_idx == 0) ----------
         def ae_loss_fn(ae_params):
-            xrec, qloss, _ = forward(ae_params, x, temp, rng_ae)
+            xrec, qloss, _, codes = forward(ae_params, x, temp, rng_ae)
             if has_disc:
                 l, log = loss_obj.generator_loss(
                     qloss, x, xrec, state.disc_params, disc_factor,
                     d_weight=d_weight)
             else:
                 l, log = loss_obj.generator_loss(qloss, x, xrec)
-            return l, log
+            return l, (log, jax.lax.stop_gradient(codes))
 
-        (ae_loss, log), grads = jax.value_and_grad(
+        (ae_loss, (log, codes)), grads = jax.value_and_grad(
             ae_loss_fn, has_aux=True)(state.ae_params)
         updates, ae_opt = ae_tx.update(grads, state.ae_opt, state.ae_params)
         ae_params = optax.apply_updates(state.ae_params, updates)
@@ -112,7 +122,7 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
         # ---- phase 1: discriminator on the *updated* AE output ------------
         disc_params, disc_opt = state.disc_params, state.disc_opt
         if has_disc:
-            xrec2, _, _ = forward(ae_params, x, temp, rng_d)
+            xrec2, _, _, _ = forward(ae_params, x, temp, rng_d)
             xrec2 = jax.lax.stop_gradient(xrec2)
 
             def d_loss_fn(dp):
@@ -125,6 +135,10 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
                                                  state.disc_params)
             disc_params = optax.apply_updates(state.disc_params, d_updates)
             log.update(d_log)
+
+        perp, n_used = code_perplexity(codes)
+        log["train/code_perplexity"] = perp
+        log["train/codes_used"] = n_used
 
         new_state = state.replace(step=state.step + 1, ae_params=ae_params,
                                   ae_opt=ae_opt, disc_params=disc_params,
