@@ -59,52 +59,62 @@ def _set(params: Dict, path: List[str], value: np.ndarray) -> bool:
     return True
 
 
+# reference per-layer key suffix -> (our path inside a block, transpose?)
+_VIT_BLOCK_MAP = {
+    ("0", "norm.weight"): (["norm1", "scale"], False),
+    ("0", "norm.bias"): (["norm1", "bias"], False),
+    ("0", "fn.to_qkv.weight"): (["attn", "to_qkv", "kernel"], True),
+    ("0", "fn.to_out.weight"): (["attn", "to_out", "kernel"], True),
+    ("0", "fn.to_out.bias"): (["attn", "to_out", "bias"], False),
+    ("1", "norm.weight"): (["norm2", "scale"], False),
+    ("1", "norm.bias"): (["norm2", "bias"], False),
+    ("1", "fn.net.0.weight"): (["ff", "fc1", "kernel"], True),
+    ("1", "fn.net.0.bias"): (["ff", "fc1", "bias"], False),
+    ("1", "fn.net.2.weight"): (["ff", "fc2", "kernel"], True),
+    ("1", "fn.net.2.bias"): (["ff", "fc2", "bias"], False),
+}
+
+
 def _map_vit_transformer(prefix: str, sd, params, out_prefix: List[str],
                          loaded: set) -> None:
-    """Map a stage-1 Transformer stack (encoder/decoder.transformer.*)."""
+    """Map a stage-1 Transformer stack (encoder/decoder.transformer.*).
+
+    Handles both the per-layer layout (transformer/layers_{i}/...) and the
+    scan-stacked layout (transformer/layers/... with a leading layer axis).
+    """
+    node = params
+    for p in out_prefix:
+        node = node.get(p, {})
+    stacked = "layers" in node
+
     layer_pat = re.compile(
         re.escape(prefix) + r"\.layers\.(\d+)\.(\d)\.(.+)$")
+    per_layer: Dict[str, Dict[int, np.ndarray]] = {}
     for key, val in sd.items():
         m = layer_pat.match(key)
         if m:
             i, branch, rest = int(m.group(1)), m.group(2), m.group(3)
-            base = out_prefix + [f"layers_{i}"]
-            if branch == "0":  # PreNorm(Attention)
-                if rest == "norm.weight":
-                    ok = _set(params, base + ["norm1", "scale"], val)
-                elif rest == "norm.bias":
-                    ok = _set(params, base + ["norm1", "bias"], val)
-                elif rest == "fn.to_qkv.weight":
-                    ok = _set(params, base + ["attn", "to_qkv", "kernel"], val.T)
-                elif rest == "fn.to_out.weight":
-                    ok = _set(params, base + ["attn", "to_out", "kernel"], val.T)
-                elif rest == "fn.to_out.bias":
-                    ok = _set(params, base + ["attn", "to_out", "bias"], val)
-                else:
-                    continue
-            else:  # PreNorm(FeedForward)
-                if rest == "norm.weight":
-                    ok = _set(params, base + ["norm2", "scale"], val)
-                elif rest == "norm.bias":
-                    ok = _set(params, base + ["norm2", "bias"], val)
-                elif rest == "fn.net.0.weight":
-                    ok = _set(params, base + ["ff", "fc1", "kernel"], val.T)
-                elif rest == "fn.net.0.bias":
-                    ok = _set(params, base + ["ff", "fc1", "bias"], val)
-                elif rest == "fn.net.2.weight":
-                    ok = _set(params, base + ["ff", "fc2", "kernel"], val.T)
-                elif rest == "fn.net.2.bias":
-                    ok = _set(params, base + ["ff", "fc2", "bias"], val)
-                else:
-                    continue
-            if ok:
+            mapping = _VIT_BLOCK_MAP.get((branch, rest))
+            if mapping is None:
+                continue
+            path, transpose = mapping
+            v = val.T if transpose else val
+            if stacked:
+                per_layer.setdefault("/".join(path), {})[i] = v
                 loaded.add(key)
+            else:
+                if _set(params, out_prefix + [f"layers_{i}"] + path, v):
+                    loaded.add(key)
         elif key == f"{prefix}.norm.weight":
             if _set(params, out_prefix + ["norm", "scale"], val):
                 loaded.add(key)
         elif key == f"{prefix}.norm.bias":
             if _set(params, out_prefix + ["norm", "bias"], val):
                 loaded.add(key)
+
+    for path_str, by_idx in per_layer.items():
+        vals = np.stack([by_idx[i] for i in sorted(by_idx)], axis=0)
+        _set(params, out_prefix + ["layers"] + path_str.split("/"), vals)
 
 
 def load_vitvq_params(path: str, params: Any,

@@ -137,11 +137,18 @@ class TransformerBlock(nn.Module):
         x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(h)
         return x
 
+    def scan_call(self, x: jax.Array, _) -> tuple:
+        return self(x), None
+
 
 class Transformer(nn.Module):
     """Pre-norm ViT transformer stack with a final LayerNorm.
 
     (reference: enhancing/modules/stage1/layers.py:135-150)
+
+    ``scan_layers`` compiles the stack as one nn.scan'd block body (stacked
+    params) — dramatically smaller XLA graphs for deep training programs;
+    ``remat`` rematerializes blocks in the backward pass.
     """
 
     dim: int
@@ -151,15 +158,28 @@ class Transformer(nn.Module):
     mlp_dim: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock)
-        for i in range(self.depth):
-            x = block_cls(self.dim, self.heads, self.dim_head, self.mlp_dim,
-                          dtype=self.dtype, name=f"layers_{i}")(x)
+        if self.scan_layers:
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+                methods=["scan_call"])
+            stack = scanned(self.dim, self.heads, self.dim_head, self.mlp_dim,
+                            dtype=self.dtype, name="layers")
+            x, _ = stack.scan_call(x, jnp.zeros((self.depth, 0)))
+        else:
+            for i in range(self.depth):
+                x = block_cls(self.dim, self.heads, self.dim_head,
+                              self.mlp_dim, dtype=self.dtype,
+                              name=f"layers_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
@@ -181,6 +201,7 @@ class ViTEncoder(nn.Module):
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self) -> None:
         ih, iw = _pair(self.image_size)
@@ -198,6 +219,7 @@ class ViTEncoder(nn.Module):
         self.transformer = Transformer(self.dim, self.depth, self.heads,
                                        self.dim_head, self.mlp_dim,
                                        dtype=self.dtype, remat=self.remat,
+                                       scan_layers=self.scan_layers,
                                        name="transformer")
 
     def __call__(self, img: jax.Array) -> jax.Array:
@@ -227,6 +249,7 @@ class ViTDecoder(nn.Module):
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self) -> None:
         ih, iw = _pair(self.image_size)
@@ -241,6 +264,7 @@ class ViTDecoder(nn.Module):
         self.transformer = Transformer(self.dim, self.depth, self.heads,
                                        self.dim_head, self.mlp_dim,
                                        dtype=self.dtype, remat=self.remat,
+                                       scan_layers=self.scan_layers,
                                        name="transformer")
         self.to_pixel = nn.Dense(self.channels * ph * pw, kernel_init=dense_init,
                                  dtype=self.dtype, name="to_pixel")

@@ -38,14 +38,17 @@ class ViTVQModule(nn.Module):
     quantizer_type: str = "vq"  # 'vq' | 'gumbel'
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self) -> None:
         enc = dict(self.encoder)
         dec = dict(self.decoder)
         self.enc = ViTEncoder(image_size=self.image_size, patch_size=self.patch_size,
-                              dtype=self.dtype, remat=self.remat, name="encoder", **enc)
+                              dtype=self.dtype, remat=self.remat,
+                              scan_layers=self.scan_layers, name="encoder", **enc)
         self.dec = ViTDecoder(image_size=self.image_size, patch_size=self.patch_size,
-                              dtype=self.dtype, remat=self.remat, name="decoder", **dec)
+                              dtype=self.dtype, remat=self.remat,
+                              scan_layers=self.scan_layers, name="decoder", **dec)
         if self.quantizer_type == "vq":
             self.quant = VectorQuantizer(name="quantizer", **dict(self.quantizer))
         elif self.quantizer_type == "gumbel":
@@ -140,6 +143,7 @@ class ViTVQ:
                  loss: Optional[dict] = None, path: Optional[str] = None,
                  ignore_keys: Sequence[str] = (), scheduler: Optional[dict] = None,
                  dtype: str = "float32", seed: int = 0, remat: bool = False,
+                 scan_layers: bool = False,
                  temperature_scheduler: Optional[dict] = None) -> None:
         self.image_key = image_key
         self.image_size = image_size
@@ -154,7 +158,7 @@ class ViTVQ:
             image_size=image_size, patch_size=patch_size,
             encoder=dict(encoder or {}), decoder=dict(decoder or {}),
             quantizer=dict(quantizer or {}), quantizer_type=self.quantizer_type,
-            dtype=jnp.dtype(dtype), remat=remat)
+            dtype=jnp.dtype(dtype), remat=remat, scan_layers=scan_layers)
 
         rng = jax.random.PRNGKey(seed)
         channels = int((encoder or {}).get("channels", 3))

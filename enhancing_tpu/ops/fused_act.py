@@ -45,7 +45,10 @@ def _fused_pallas(x: jax.Array, bias: jax.Array, slope: float, scale: float
     b2 = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (1, c))
 
     m = x2.shape[0]
-    block_m = min(m, 4096)
+    # VMEM budget: in + out blocks, double-buffered, fp32 worst case
+    budget = 4 * 1024 * 1024
+    block_m = max(8, min(m, budget // (c * 4 * 4)))
+    block_m = (block_m // 8) * 8 or 8
     out = pl.pallas_call(
         functools.partial(_kernel, slope=slope, scale=scale),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),

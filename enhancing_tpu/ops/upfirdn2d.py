@@ -146,9 +146,11 @@ def _fir_fused_bwd(taps, pad, x, g):
 
 _fir_fused.defvjp(_fir_fused_fwd, _fir_fused_bwd)
 
-# Full-image Pallas path only when the input panel fits comfortably in VMEM;
-# larger panels go through XLA's depthwise conv (already well-tiled on TPU).
-_PALLAS_FIR_VMEM_BUDGET = 6 * 1024 * 1024
+# Full-image Pallas path only when the input panel fits comfortably in VMEM
+# (the pipeline double-buffers in+out blocks and the accumulator is fp32, so
+# usable panel size is ~VMEM/6); larger panels go through XLA's depthwise
+# conv (already well-tiled on TPU).
+_PALLAS_FIR_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 
 
 def upfirdn2d(x: jax.Array, kernel: jax.Array, up: int = 1, down: int = 1,

@@ -275,3 +275,28 @@ def test_gpt_checkpoint_parity(tmp_path, rng):
                       jnp.asarray(conds))
     np.testing.assert_allclose(np.asarray(jlogits), tlogits.numpy(),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_checkpoint_parity_scanned_vit(torch_and_jax, tmp_path, rng):
+    """The same torch ckpt loads into the scan-stacked ViT layout and
+    produces identical codes."""
+    tmodel, jmodel = torch_and_jax
+    path = tmp_path / "m.ckpt"
+    torch.save({"state_dict": tmodel.state_dict()}, path)
+
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    ENC = dict(dim=64, depth=2, heads=2, mlp_dim=128)
+    scanned = ViTVQ(image_size=32, patch_size=8, encoder=ENC, decoder=ENC,
+                    quantizer=dict(embed_dim=16, n_embed=64), path=str(path),
+                    scan_layers=True)
+    assert scanned.params["encoder"]["transformer"]["layers"][
+        "attn"]["to_qkv"]["kernel"].shape[0] == 2  # stacked leading axis
+
+    img = rng.random((2, 32, 32, 3)).astype(np.float32)
+    codes_scanned = scanned.encode_codes(img)
+    codes_unrolled = jmodel.encode_codes(img)
+    np.testing.assert_array_equal(np.asarray(codes_scanned),
+                                  np.asarray(codes_unrolled))
+    rec_s = np.asarray(scanned.decode_codes(codes_scanned))
+    rec_u = np.asarray(jmodel.decode_codes(codes_unrolled))
+    np.testing.assert_allclose(rec_s, rec_u, atol=1e-5)

@@ -132,3 +132,22 @@ def test_cond_transformer_training(tmp_path):
     pixels = model.sample(jnp.asarray([[0], [1]]), top_k=8)
     assert pixels.shape == (2, 32, 32, 3)
     assert float(pixels.min()) >= 0.0 and float(pixels.max()) <= 1.0
+
+
+def test_checkpoint_restore_roundtrip(tmp_path):
+    """orbax save -> restore reproduces the train state exactly."""
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q,
+                  loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, basedir=str(tmp_path),
+                      log_every=1000, max_steps=2)
+    trainer.fit(model, build_data())
+    state = trainer.final_state
+
+    restored = trainer.restore(jax.tree.map(np.zeros_like,
+                                            jax.device_get(state)))
+    for a, b in zip(jax.tree.leaves(jax.device_get(state)),
+                    jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
