@@ -71,38 +71,30 @@ def _upfirdn2d_xla(x: jax.Array, kernel: jax.Array, up: int, down: int,
 # ---------------------------------------------------------------------------
 
 def _fir_kernel(x_ref, o_ref, *, taps, kh: int, kw: int, py0: int, px0: int,
-                h: int, w: int):
+                py1: int, px1: int, h: int, w: int):
     """One batch image per program. x: (H, W, C) block; out: (Ho, Wo, C).
 
-    out[i, j] = sum_{a,b} k[a, b] * x_padded[i + a, j + b] with the kernel
-    pre-flipped in ``taps`` (true convolution).
+    Pads the input ONCE, then accumulates tap-weighted *shifted static
+    slices* of that single padded buffer — only two full-size temporaries
+    live at a time (a per-tap pad-and-add formulation allocated one
+    full-size buffer per tap and blew scoped VMEM at 512 channels).
     """
     x = x_ref[0]
     ho, wo = o_ref.shape[1], o_ref.shape[2]
-    c = x.shape[-1]
-    acc = jnp.zeros((ho, wo, c), jnp.float32)
+    # negative pads crop the source; positive pads zero-extend
+    rs, re = max(-py0, 0), h - max(-py1, 0)
+    cs, ce = max(-px0, 0), w - max(-px1, 0)
+    xp = jnp.pad(x[rs:re, cs:ce, :].astype(jnp.float32),
+                 ((max(py0, 0), max(py1, 0)),
+                  (max(px0, 0), max(px1, 0)), (0, 0)))
+    acc = None
     for a in range(kh):
         for b in range(kw):
             tap = taps[a][b]
             if tap == 0.0:
                 continue
-            # source window: rows [a - py0, a - py0 + ho), cols likewise
-            r0 = a - py0
-            c0 = b - px0
-            # clamp to valid region; contributions outside are zero padding
-            rs, re = max(r0, 0), min(r0 + ho, h)
-            cs, ce = max(c0, 0), min(c0 + wo, w)
-            if rs >= re or cs >= ce:
-                continue
-            dst_r0 = rs - r0
-            dst_c0 = cs - c0
-            patch = x[rs:re, cs:ce, :].astype(jnp.float32)
-            # static zero-pad to (ho, wo): avoids scatter inside the kernel
-            padded = jnp.pad(
-                tap * patch,
-                ((dst_r0, ho - dst_r0 - (re - rs)),
-                 (dst_c0, wo - dst_c0 - (ce - cs)), (0, 0)))
-            acc = acc + padded
+            term = tap * xp[a:a + ho, b:b + wo, :]
+            acc = term if acc is None else acc + term
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -116,7 +108,7 @@ def _upfirdn2d_pallas_fir(x: jax.Array, taps: tuple, pad) -> jax.Array:
 
     return pl.pallas_call(
         functools.partial(_fir_kernel, taps=taps, kh=kh, kw=kw,
-                          py0=py0, px0=px0, h=h, w=w),
+                          py0=py0, px0=px0, py1=py1, px1=px1, h=h, w=w),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), x.dtype),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
@@ -146,11 +138,13 @@ def _fir_fused_bwd(taps, pad, x, g):
 
 _fir_fused.defvjp(_fir_fused_fwd, _fir_fused_bwd)
 
-# Full-image Pallas path only when the input panel fits comfortably in VMEM
-# (the pipeline double-buffers in+out blocks and the accumulator is fp32, so
-# usable panel size is ~VMEM/6); larger panels go through XLA's depthwise
-# conv (already well-tiled on TPU).
-_PALLAS_FIR_VMEM_BUDGET = int(2.5 * 1024 * 1024)
+# Full-image Pallas path only for small panels: Mosaic materializes each
+# shifted tap slice (sublane shifts are layout changes), so scoped VMEM use
+# is ~(kh*kw/2 + 4) x panel. Measured: a 2MB fp32 panel with a 4x4 kernel
+# needs 24MB scoped VMEM -> keep panels <= 512KB and route larger blurs to
+# XLA's depthwise conv (already well-tiled on TPU; the blur is a tiny
+# fraction of discriminator step time either way).
+_PALLAS_FIR_VMEM_BUDGET = 512 * 1024
 
 
 def upfirdn2d(x: jax.Array, kernel: jax.Array, up: int = 1, down: int = 1,

@@ -131,7 +131,11 @@ def nearest_codebook_indices(z: jax.Array, codebook: jax.Array, *,
       int32 indices shaped like ``z`` minus its last dim.
     """
     batch_shape = z.shape[:-1]
-    z2 = z.reshape(-1, z.shape[-1])
+    # argmin indices are piecewise-constant in the inputs (zero derivative);
+    # cut the tangent path explicitly — pallas_call has no JVP rule, so
+    # differentiating a training loss through this op would otherwise fail.
+    z2 = jax.lax.stop_gradient(z.reshape(-1, z.shape[-1]))
+    codebook = jax.lax.stop_gradient(codebook)
     if use_pallas(impl) and z2.shape[0] >= 8:
         idx = _nearest_pallas(z2, codebook)
     else:

