@@ -37,12 +37,21 @@ def _stack(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Threaded batch loader with shuffling and bounded prefetch."""
+    """Threaded batch loader with shuffling and bounded prefetch.
+
+    Multi-host: pass ``shard_id``/``num_shards`` (defaults to
+    jax.process_index()/process_count() when ``auto_shard``) — each host
+    loads a disjoint slice of every epoch's permutation, the standard
+    per-process sharding for GSPMD data parallelism (the reference's
+    DistributedSampler equivalent, which Lightning injected implicitly).
+    """
 
     def __init__(self, dataset: Dataset, batch_size: int,
                  shuffle: bool = False, num_workers: int = 4,
                  drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 4) -> None:
+                 prefetch: int = 4, shard_id: Optional[int] = None,
+                 num_shards: Optional[int] = None,
+                 auto_shard: bool = True) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,9 +60,18 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        if shard_id is None and auto_shard:
+            try:
+                import jax
+                shard_id = jax.process_index()
+                num_shards = jax.process_count()
+            except Exception:
+                shard_id, num_shards = 0, 1
+        self.shard_id = shard_id or 0
+        self.num_shards = num_shards or 1
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -61,7 +79,10 @@ class DataLoader:
     def _batches(self) -> List[List[int]]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
+            # same permutation on every host (seeded), disjoint strided shards
             random.Random(self.seed + self._epoch).shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id::self.num_shards]
         bs = self.batch_size
         batches = [idx[i:i + bs] for i in range(0, len(idx), bs)]
         if self.drop_last and batches and len(batches[-1]) < bs:

@@ -26,7 +26,7 @@ import numpy as np
 from einops import rearrange
 from flax import linen as nn
 
-from ...ops.attention import multihead_attention
+from ...ops.attention import multihead_attention_bnhd
 
 Size = Union[int, Tuple[int, int], Sequence[int]]
 
@@ -104,16 +104,19 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=dense_init,
                        dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = rearrange(q, "b n (h d) -> b h n d", h=self.heads)
-        k = rearrange(k, "b n (h d) -> b h n d", h=self.heads)
-        v = rearrange(v, "b n (h d) -> b h n d", h=self.heads)
+        # (B, N, H, D) is a free reshape of the projection output — the fused
+        # kernel consumes this layout directly, avoiding per-layer transposes
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, n, self.heads, self.dim_head)
+        v = v.reshape(b, n, self.heads, self.dim_head)
 
-        out = multihead_attention(q, k, v, scale=self.dim_head**-0.5)
-        out = rearrange(out, "b h n d -> b n (h d)")
+        out = multihead_attention_bnhd(q, k, v, scale=self.dim_head**-0.5)
+        out = out.reshape(b, n, inner)
 
         if not (self.heads == 1 and self.dim_head == self.dim):
             out = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,

@@ -171,3 +171,128 @@ def multihead_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if use_pallas(impl) and q.shape[-2] >= 8:
         return _attention_fused(q, k, v, float(scale), mask_mode, int(cond_len))
     return _attention_xla(q, k, v, float(scale), mask_mode, int(cond_len))
+
+
+# ---------------------------------------------------------------------------
+# Transpose-free layout: q/k/v as (B, N, H, D) — the natural reshape of the
+# fused qkv projection output. Avoids materialising per-layer
+# (B,H,N,D) transposed copies (~300MB/layer for ViT-base at batch 64).
+# ---------------------------------------------------------------------------
+
+def _attn_kernel_bnhd(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      mask_mode: str, cond_len: int, block_q: int,
+                      n_heads: int):
+    """Block over q positions only (TPU block tiling constrains the minor
+    two dims, so heads can't be blocked in this layout); heads iterate
+    inside the kernel with a single reused score buffer."""
+    qi = pl.program_id(1)
+
+    def one_head(h, _):
+        # dynamic head index on the *ref* (VMEM loads support it; value-level
+        # dynamic_slice has no Mosaic lowering)
+        q = q_ref[0, :, h, :]                   # (bq, D)
+        k = k_ref[0, :, h, :]                   # (M, D)
+        v = v_ref[0, :, h, :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if mask_mode == "prefix_causal":
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+            s = jnp.where(allowed, s, NEG_INF)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - mx)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h, :] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_heads, one_head, 0)
+
+
+def _attention_pallas_bnhd(q, k, v, scale, mask_mode, cond_len):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    budget = 4 * 1024 * 1024
+    block_q = 1024
+    while block_q > 128 and block_q * m * 4 > budget:
+        block_q //= 2
+    block_q = min(block_q, n)
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_bnhd, scale=scale, mask_mode=mask_mode,
+                          cond_len=cond_len, block_q=block_q, n_heads=h),
+        out_shape=jax.ShapeDtypeStruct((b, n, h, d), q.dtype),
+        grid=(b, cdiv(n, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h, d), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, h, d), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, h, d), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h, d), lambda i, r: (i, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * m * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=b * h * n * m,
+        ),
+        interpret=interpret_mode(),
+    )(q, k, v)
+
+
+def _attention_xla_bnhd(q, k, v, scale, mask_mode, cond_len):
+    out = _attention_xla(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3), scale, mask_mode, cond_len)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_fused_bnhd(q, k, v, scale, mask_mode, cond_len):
+    return _attention_pallas_bnhd(q, k, v, scale, mask_mode, cond_len)
+
+
+def _attention_fused_bnhd_fwd(q, k, v, scale, mask_mode, cond_len):
+    return _attention_pallas_bnhd(q, k, v, scale, mask_mode, cond_len), (q, k, v)
+
+
+def _attention_fused_bnhd_bwd(scale, mask_mode, cond_len, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_xla_bnhd(q_, k_, v_, scale, mask_mode,
+                                               cond_len), q, k, v)
+    return vjp(g)
+
+
+_attention_fused_bnhd.defvjp(_attention_fused_bnhd_fwd,
+                             _attention_fused_bnhd_bwd)
+
+
+def multihead_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                             scale: Optional[float] = None,
+                             mask_mode: str = "none", cond_len: int = 0,
+                             impl: str | None = "auto") -> jax.Array:
+    """Attention over (batch, seq, heads, head_dim) input layout.
+
+    NOTE: a truly transpose-free Pallas kernel for this layout is blocked by
+    Mosaic tiling rules — (H, D) land on the sublane/lane dims and a single
+    head is an unaligned sublane slice ("index in dimension 2 must be a
+    multiple of 8"). The kernel in _attention_pallas_bnhd works only in
+    interpreter mode; on hardware this routes through the (B,H,N,D) fused
+    kernel with XLA-materialized transposes (~1ms/layer at ViT-base/b64 —
+    measured to be the cheaper trade).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas(impl) and q.shape[1] >= 8:
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = _attention_fused(qt, kt, vt, float(scale), mask_mode,
+                               int(cond_len))
+        return out.transpose(0, 2, 1, 3)
+    return _attention_xla_bnhd(q, k, v, float(scale), mask_mode, int(cond_len))

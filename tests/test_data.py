@@ -176,3 +176,18 @@ def test_native_ops_match_fallback(rng):
     cf = native.crop_flip_normalize(img, 2, 3, 32, False)
     np.testing.assert_allclose(cf, img[2:34, 3:35].astype(np.float32) / 255,
                                atol=1e-6)
+
+
+def test_dataloader_multihost_sharding():
+    """Disjoint per-shard coverage of the full dataset."""
+    ds = FakeImages(length=24, resolution=8)
+    seen = []
+    for shard in range(3):
+        dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
+                        shard_id=shard, num_shards=3, seed=5)
+        assert len(dl) == 2
+        for b in dl:
+            seen.extend(np.asarray(b["class"]).tolist())
+    # shards together cover 24 distinct samples (same epoch permutation)
+    classes_all = [int(ds[i]["class"]) for i in range(24)]
+    assert sorted(seen) == sorted(classes_all)

@@ -108,3 +108,15 @@ def test_codebook_distances(rng):
     d = np.asarray(vq.codebook_distances(z, e))
     expected = ((np.asarray(z)[:, None] - np.asarray(e)[None]) ** 2).sum(-1)
     np.testing.assert_allclose(d, expected, atol=1e-4)
+
+
+def test_attention_bnhd_matches_bhnd(rng):
+    b, n, h, d = 2, 64, 4, 32
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    ref = att._attention_xla(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                             v.transpose(0, 2, 1, 3), d**-0.5, "none", 0)
+    out = att._attention_pallas_bnhd(q, k, v, d**-0.5, "none", 0)
+    np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
+                               np.asarray(ref), atol=2e-5)
