@@ -111,12 +111,19 @@ class FrechetDistance:
 
 def vgg_feature_fn(lpips_module, lpips_params, stage: int = 3
                    ) -> Callable[[jax.Array], jax.Array]:
-    """Spatially pooled VGG16 stage features for VGG-Fréchet distance."""
-    net = lpips_module.net if hasattr(lpips_module, "net") else lpips_module
+    """Spatially pooled VGG16 stage features for VGG-Fréchet distance.
+
+    ``lpips_module``/``lpips_params`` are an LPIPS flax module and its params
+    (the trunk lives under params['net']); flax module attributes are only
+    bound inside apply, so build a fresh trunk module here.
+    """
+    from ..losses.lpips import VGG16Features
+    net = VGG16Features()
+    params = lpips_params["net"] if "net" in lpips_params else lpips_params
 
     @jax.jit
     def fn(images):
-        feats = net.apply({"params": lpips_params["net"]}, images * 2 - 1)
+        feats = net.apply({"params": params}, images * 2 - 1)
         return jnp.mean(feats[stage], axis=(1, 2))
     return fn
 
