@@ -157,10 +157,17 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
 
         if do_r1:
             # lazy R1: d/dx sum(D(x)), squared-norm per sample, scaled by
-            # gamma * do_r1_every / 2 (reference vqperceptual.py:157-162)
-            grad_fn = jax.grad(
-                lambda imgs: jnp.sum(self.run_discriminator(disc_params, imgs)))
-            gradients = grad_fn(x)
+            # gamma * do_r1_every / 2 (reference vqperceptual.py:157-162).
+            # This term is differentiated AGAIN w.r.t. disc_params by the
+            # outer training grad — custom_vjp Pallas kernels only support
+            # first-order AD, so trace this branch on the pure-XLA op paths
+            # (the reference's conv2d_gradfix equivalent).
+            from ..ops.common import force_xla_ops
+            with force_xla_ops():
+                grad_fn = jax.grad(
+                    lambda imgs: jnp.sum(
+                        self.run_discriminator(disc_params, imgs)))
+                gradients = grad_fn(x)
             grad_norm = jnp.mean(
                 jnp.sum(jnp.square(gradients), axis=(1, 2, 3)))
             d_loss = d_loss + self.r1_gamma * self.do_r1_every * grad_norm / 2

@@ -25,8 +25,34 @@ def interpret_mode() -> bool:
     return bool(os.environ.get("ENHANCING_TPU_PALLAS_INTERPRET"))
 
 
+_FORCE_XLA_DEPTH = 0
+
+
+class force_xla_ops:
+    """Trace-time context: dispatch all ops to their pure-XLA paths.
+
+    custom_vjp kernels fix their first-order VJP and cannot be differentiated
+    twice; regions needing higher-order AD (e.g. the R1 gradient penalty,
+    which differentiates grad_x D(x) w.r.t. the discriminator params) trace
+    under this context — the TPU-native equivalent of the reference switching
+    conv implementations for R1 (op/conv2d_gradfix.py:12-19).
+    """
+
+    def __enter__(self):
+        global _FORCE_XLA_DEPTH
+        _FORCE_XLA_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA_DEPTH
+        _FORCE_XLA_DEPTH -= 1
+        return False
+
+
 def use_pallas(impl: str | None) -> bool:
     """Resolve an ``impl`` argument ('auto' | 'pallas' | 'xla') to a decision."""
+    if _FORCE_XLA_DEPTH > 0:
+        return False
     if impl in (None, "auto"):
         return on_tpu()
     if impl == "pallas":

@@ -148,6 +148,81 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
     return train_step
 
 
+def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None):
+    """Two-program variant of the GAN step: (ae_step, disc_step).
+
+    Identical math to make_vitvq_train_step, but the autoencoder and
+    discriminator updates compile as separate (roughly half-size) XLA
+    programs. Useful when a single fused program's compile time is the
+    bottleneck (e.g. remote-compile tunnels); costs one host round trip per
+    step. Select with Trainer(split_gan_step=True).
+    """
+    module = model.module
+    constants = model.constants
+    has_disc = getattr(loss_obj, "has_discriminator", False)
+    is_gumbel = module.quantizer_type == "gumbel"
+    use_adaptive = getattr(loss_obj, "use_adaptive_adv", False)
+    if use_adaptive:
+        raise NotImplementedError(
+            "use_adaptive_adv requires the fused train step "
+            "(Trainer(split_gan_step=False))")
+    n_embed = module.quantizer["n_embed"]
+
+    def forward(params, x, temp, rng):
+        variables = {"params": params, "constants": constants}
+        rngs = {"gumbel": rng} if is_gumbel else None
+        return module.apply(variables, x, temp, not is_gumbel,
+                            method="forward_training", rngs=rngs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def ae_step(state: GANTrainState, x, rng, temp):
+        disc_factor = ((state.step >= loss_obj.discriminator_iter_start)
+                       .astype(jnp.float32) if has_disc else jnp.float32(0.0))
+
+        def ae_loss_fn(ae_params):
+            xrec, qloss, _, codes = forward(ae_params, x, temp, rng)
+            if has_disc:
+                l, log = loss_obj.generator_loss(
+                    qloss, x, xrec, state.disc_params, disc_factor)
+            else:
+                l, log = loss_obj.generator_loss(qloss, x, xrec)
+            return l, (log, jax.lax.stop_gradient(codes))
+
+        (_, (log, codes)), grads = jax.value_and_grad(
+            ae_loss_fn, has_aux=True)(state.ae_params)
+        updates, ae_opt = ae_tx.update(grads, state.ae_opt, state.ae_params)
+        ae_params = optax.apply_updates(state.ae_params, updates)
+        hist = jnp.zeros((n_embed,), jnp.float32).at[codes.reshape(-1)].add(1.)
+        p = hist / jnp.maximum(jnp.sum(hist), 1.0)
+        log["train/code_perplexity"] = jnp.exp(
+            -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0)))
+        return state.replace(ae_params=ae_params, ae_opt=ae_opt), log
+
+    @functools.partial(jax.jit, static_argnames=("do_r1",),
+                       donate_argnums=(0,))
+    def disc_step(state: GANTrainState, x, rng, temp, do_r1: bool = False):
+        if not has_disc:
+            return state.replace(step=state.step + 1), {}
+        disc_factor = (state.step
+                       >= loss_obj.discriminator_iter_start).astype(jnp.float32)
+        xrec, _, _, _ = forward(state.ae_params, x, temp, rng)
+        xrec = jax.lax.stop_gradient(xrec)
+
+        def d_loss_fn(dp):
+            return loss_obj.discriminator_loss(dp, x, xrec, disc_factor,
+                                               do_r1=do_r1)
+
+        (_, d_log), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.disc_params)
+        d_updates, disc_opt = disc_tx.update(d_grads, state.disc_opt,
+                                             state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+        return state.replace(step=state.step + 1, disc_params=disc_params,
+                             disc_opt=disc_opt), d_log
+
+    return ae_step, disc_step
+
+
 def make_vitvq_eval_step(model, loss_obj):
     """Validation metrics (reference vitvqgan.py:129-150), jitted."""
     module = model.module

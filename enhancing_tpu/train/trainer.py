@@ -42,7 +42,8 @@ class Trainer:
                  checkpoint_every_epochs: int = 1,
                  log_every: int = 50,
                  callbacks: Optional[list] = None,
-                 max_steps: Optional[int] = None) -> None:
+                 max_steps: Optional[int] = None,
+                 split_gan_step: bool = False) -> None:
         self.max_epochs = max_epochs
         self.base_lr = base_lr
         self.use_amp = use_amp
@@ -55,6 +56,7 @@ class Trainer:
         self.log_every = log_every
         self.callbacks = callbacks or []
         self.max_steps = max_steps
+        self.split_gan_step = split_gan_step
         self.global_step = 0
         self._ckpt_mgr = None
         if self.basedir is not None and is_main_process():
@@ -87,7 +89,20 @@ class Trainer:
                       if has_disc else None))
         specs = replicated_specs(state)
         state = place_params(self.mesh, state, specs)
-        train_step = make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx)
+        if self.split_gan_step:
+            from .steps import make_vitvq_train_steps_split
+            ae_step, disc_step = make_vitvq_train_steps_split(
+                model, loss_obj, ae_tx, disc_tx)
+
+            def train_step(state, x, rng, temp, do_r1=False):
+                r1, r2 = jax.random.split(rng)
+                state, log = ae_step(state, x, r1, temp)
+                state, d_log = disc_step(state, x, r2, temp, do_r1=do_r1)
+                log.update(d_log)
+                return state, log
+        else:
+            train_step = make_vitvq_train_step(model, loss_obj, ae_tx,
+                                               disc_tx)
         eval_step = make_vitvq_eval_step(model, loss_obj)
         return state, train_step, eval_step
 

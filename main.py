@@ -36,6 +36,9 @@ def main() -> None:
     parser.add_argument("-mp", "--model_parallel", type=int, default=1,
                         help="tensor-parallel size (mesh 'model' axis)")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--split_gan_step", action="store_true",
+                        help="compile AE and discriminator updates as two "
+                             "smaller XLA programs (faster compiles)")
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
@@ -85,7 +88,8 @@ def main() -> None:
                       accumulate_grad_batches=args.update_every,
                       basedir=str(basedir), seed=args.seed, mesh=mesh,
                       callbacks=[setup_cb, image_cb],
-                      max_steps=args.max_steps)
+                      max_steps=args.max_steps,
+                      split_gan_step=args.split_gan_step)
     trainer.fit(model, data)
 
 

@@ -206,3 +206,19 @@ def test_scan_layers_training_runs():
     trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2)
     trainer.fit(model, build_data())
     assert int(trainer.final_state.step) == 2
+
+
+def test_split_gan_step_matches_semantics():
+    """split AE/D programs train and stay finite (same math as fused)."""
+    model = ViTVQ(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY, quantizer=Q,
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 32, "perceptual_weight": 0.0,
+                         "adversarial_weight": 0.1, "do_r1_every": 2}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=3,
+                      split_gan_step=True)
+    trainer.fit(model, build_data())
+    assert int(trainer.final_state.step) == 3
+    for leaf in jax.tree.leaves(trainer.final_state.ae_params):
+        assert np.isfinite(np.asarray(leaf)).all()
