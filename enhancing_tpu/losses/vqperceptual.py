@@ -50,12 +50,16 @@ class VQLPIPS:
         self.perceptual, self.lpips_params = init_lpips(
             jax.random.PRNGKey(seed), image_size, lpips_weights)
 
-    def nll_loss(self, x: jax.Array, xrec: jax.Array
-                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    def nll_loss(self, x: jax.Array, xrec: jax.Array,
+                 lpips_params=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        # lpips_params must be threaded in by jitted callers — closing over
+        # the ~58M-param VGG tree bakes it into the HLO as literal constants
+        # (compile-time and program-size blowup)
+        lp = lpips_params if lpips_params is not None else self.lpips_params
         loglaplace = jnp.mean(jnp.abs(xrec - x))
         loggaussian = jnp.mean(jnp.square(xrec - x))
         perceptual = jnp.mean(self.perceptual.apply(
-            {"params": self.lpips_params}, x * 2 - 1, xrec * 2 - 1))
+            {"params": lp}, x * 2 - 1, xrec * 2 - 1))
         nll = (self.loglaplace_weight * loglaplace
                + self.loggaussian_weight * loggaussian
                + self.perceptual_weight * perceptual)
@@ -64,8 +68,9 @@ class VQLPIPS:
                      "perceptual_loss": perceptual}
 
     def generator_loss(self, codebook_loss, x, xrec, split: str = "train",
-                       **_: Any) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        nll, parts = self.nll_loss(x, xrec)
+                       lpips_params=None, **_: Any
+                       ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        nll, parts = self.nll_loss(x, xrec, lpips_params)
         loss = nll + self.codebook_weight * codebook_loss
         log = {f"{split}/total_loss": loss,
                f"{split}/quant_loss": codebook_loss,
@@ -118,11 +123,11 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
     def generator_loss(self, codebook_loss, x, xrec, disc_params=None,
                        disc_factor: jax.Array | float = 1.0,
                        d_weight: Optional[jax.Array] = None,
-                       split: str = "train", **_: Any
+                       split: str = "train", lpips_params=None, **_: Any
                        ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """``disc_factor`` carries the global_step >= disc_start warmup gate;
         ``d_weight`` overrides the static adversarial weight (adaptive path)."""
-        nll, parts = self.nll_loss(x, xrec)
+        nll, parts = self.nll_loss(x, xrec, lpips_params)
         logits_fake = self.run_discriminator(
             disc_params if disc_params is not None else self.disc_init_params,
             xrec)

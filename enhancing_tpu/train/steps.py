@@ -31,6 +31,10 @@ class GANTrainState(struct.PyTreeNode):
     ae_opt: Any
     disc_params: Any = None
     disc_opt: Any = None
+    # frozen LPIPS (VGG) params: carried in the state so jitted steps receive
+    # them as arguments — closing over them bakes ~232MB of weights into the
+    # compiled program as literal constants
+    lpips_params: Any = None
 
 
 class TrainState(struct.PyTreeNode):
@@ -75,9 +79,9 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
         return rearrange(g, "b (h p1) (w p2) c -> b (h w) (c p1 p2)",
                          p1=ph, p2=pw)
 
-    def adaptive_d_weight(disc_params, x, xrec, tokens):
+    def adaptive_d_weight(disc_params, lpips_params, x, xrec, tokens):
         """||dnll/dW_last|| / ||dg/dW_last|| via VJPs w.r.t. xrec only."""
-        nll_fn = lambda r: loss_obj.nll_loss(x, r)[0]
+        nll_fn = lambda r: loss_obj.nll_loss(x, r, lpips_params)[0]
         g_fn = lambda r: loss_obj.disc_loss(
             loss_obj.run_discriminator(disc_params, r))
         g_nll = jax.grad(nll_fn)(xrec)
@@ -101,7 +105,9 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
         d_weight = None
         if has_disc and use_adaptive:
             xrec0, _, tokens0, _ = forward(state.ae_params, x, temp, rng_ae)
-            d_weight = adaptive_d_weight(state.disc_params, x, xrec0, tokens0)
+            d_weight = adaptive_d_weight(state.disc_params,
+                                         state.lpips_params, x, xrec0,
+                                         tokens0)
 
         # ---- phase 0: autoencoder (reference optimizer_idx == 0) ----------
         def ae_loss_fn(ae_params):
@@ -109,9 +115,10 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
             if has_disc:
                 l, log = loss_obj.generator_loss(
                     qloss, x, xrec, state.disc_params, disc_factor,
-                    d_weight=d_weight)
+                    d_weight=d_weight, lpips_params=state.lpips_params)
             else:
-                l, log = loss_obj.generator_loss(qloss, x, xrec)
+                l, log = loss_obj.generator_loss(
+                    qloss, x, xrec, lpips_params=state.lpips_params)
             return l, (log, jax.lax.stop_gradient(codes))
 
         (ae_loss, (log, codes)), grads = jax.value_and_grad(
@@ -183,9 +190,11 @@ def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None):
             xrec, qloss, _, codes = forward(ae_params, x, temp, rng)
             if has_disc:
                 l, log = loss_obj.generator_loss(
-                    qloss, x, xrec, state.disc_params, disc_factor)
+                    qloss, x, xrec, state.disc_params, disc_factor,
+                    lpips_params=state.lpips_params)
             else:
-                l, log = loss_obj.generator_loss(qloss, x, xrec)
+                l, log = loss_obj.generator_loss(
+                    qloss, x, xrec, lpips_params=state.lpips_params)
             return l, (log, jax.lax.stop_gradient(codes))
 
         (_, (log, codes)), grads = jax.value_and_grad(
@@ -240,13 +249,15 @@ def make_vitvq_eval_step(model, loss_obj):
                                jnp.float32)
             _, log = loss_obj.generator_loss(qloss, x, xrec,
                                              state.disc_params, disc_factor,
-                                             split="val")
+                                             split="val",
+                                             lpips_params=state.lpips_params)
             _, d_log = loss_obj.discriminator_loss(
                 state.disc_params, x, xrec, disc_factor, do_r1=False,
                 split="val")
             log.update(d_log)
         else:
-            _, log = loss_obj.generator_loss(qloss, x, xrec, split="val")
+            _, log = loss_obj.generator_loss(qloss, x, xrec, split="val",
+                                             lpips_params=state.lpips_params)
         return log
 
     return eval_step
@@ -254,18 +265,27 @@ def make_vitvq_eval_step(model, loss_obj):
 
 def make_cond_transformer_train_step(cond_model, tx):
     """Stage-2 prior step: frozen encodes + cross-entropy
-    (reference transformer.py:107-124)."""
+    (reference transformer.py:107-124).
+
+    The frozen stage-1 encode and the prior update compile as SEPARATE
+    programs — the encode graph is the same executable the tokenizer's
+    inference path uses (compile-cache reuse), and each program stays small
+    (matters on remote-compile backends).
+    """
     stage1 = cond_model.stage1_model
     transformer = cond_model.transformer
     is_rq = cond_model.is_rq
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images: jax.Array, conds: jax.Array
-                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        codes = jax.lax.stop_gradient(
-            stage1.module.apply(stage1.variables, images,
-                                method="encode_codes"))
+    @jax.jit
+    def encode(stage1_vars, images: jax.Array) -> jax.Array:
+        # stage1 weights as an ARGUMENT — a closure would bake ~344MB of
+        # frozen tokenizer params into the HLO as constants
+        return jax.lax.stop_gradient(
+            stage1.module.apply(stage1_vars, images, method="encode_codes"))
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(state: TrainState, codes: jax.Array, conds: jax.Array
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_fn(params):
             logits = transformer.apply({"params": params}, codes, conds)
             if is_rq:
@@ -282,5 +302,8 @@ def make_cond_transformer_train_step(cond_model, tx):
         params = optax.apply_updates(state.params, updates)
         return (state.replace(step=state.step + 1, params=params, opt=opt),
                 {"train/total_loss": loss})
+
+    def train_step(state, images, conds):
+        return update(state, encode(stage1.variables, images), conds)
 
     return train_step

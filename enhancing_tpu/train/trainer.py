@@ -86,7 +86,8 @@ class Trainer:
             ae_opt=ae_tx.init(model.params),
             disc_params=loss_obj.disc_init_params if has_disc else None,
             disc_opt=(disc_tx.init(loss_obj.disc_init_params)
-                      if has_disc else None))
+                      if has_disc else None),
+            lpips_params=getattr(loss_obj, "lpips_params", None))
         specs = replicated_specs(state)
         state = place_params(self.mesh, state, specs)
         if self.split_gan_step:
