@@ -15,7 +15,7 @@ import numpy as np
 from PIL import Image
 
 from .base import Dataset
-from .transforms import center_crop, load_image, random_crop, resize, to_float
+from .transforms import load_image, resize, to_float
 
 
 class CocoBase(Dataset):

@@ -12,7 +12,6 @@ on-disk category layouts are supported:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

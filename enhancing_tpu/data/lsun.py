@@ -13,7 +13,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from .base import Dataset
-from .transforms import EvalTransform, TrainTransform, to_float
+from .transforms import EvalTransform, TrainTransform
 
 
 class LSUNBase(Dataset):

@@ -7,7 +7,6 @@ neighbour sample.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 from PIL import Image

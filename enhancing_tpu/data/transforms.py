@@ -11,7 +11,7 @@ versions are the reference implementations and the fallback.
 from __future__ import annotations
 
 import random
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image

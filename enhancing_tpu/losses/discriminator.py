@@ -10,11 +10,10 @@ reference's CUDA extensions.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..ops.fused_act import fused_leaky_relu

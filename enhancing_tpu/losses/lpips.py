@@ -21,7 +21,7 @@ training signal, but not the published LPIPS metric; a warning is emitted.
 from __future__ import annotations
 
 import warnings
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,7 +110,6 @@ def init_lpips(rng: jax.Array, image_size: int = 256,
 
 def load_torch_vgg16(state_dict: Dict[str, np.ndarray], params: dict) -> dict:
     """Map torchvision vgg16 ``features.*`` conv weights onto VGG16Features."""
-    import jax.tree_util as jtu
     params = jax.tree.map(np.asarray, params)
     # torchvision indices of the 13 convs in `features`
     conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]

@@ -6,7 +6,7 @@ random-projection colorizer and BCE-trained steps for label-map tokenizers.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -17,8 +17,7 @@ Capability parity with the reference's stage-1 ViT
 """
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -25,12 +25,10 @@ layers.py:502,535); we implement the depth-axis cumsum intent.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ...ops.attention import multihead_attention

@@ -8,7 +8,6 @@ prior with cross-entropy; ``sample`` decodes prior samples back to pixels.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cdiv, interpret_mode, use_pallas
+from .common import interpret_mode, use_pallas
 
 
 def _norm_pad(pad) -> Tuple[int, int, int, int]:

@@ -15,8 +15,7 @@ building the mesh; the mesh then spans all processes' devices.
 """
 from __future__ import annotations
 
-import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -12,13 +12,11 @@ functions, and the two optimizer recipes:
 """
 from __future__ import annotations
 
-import math
 import re
 from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 Schedule = Callable[[jnp.ndarray], jnp.ndarray]

@@ -9,21 +9,19 @@ metrics/image callbacks mirror the reference's Lightning callbacks.
 """
 from __future__ import annotations
 
-import time
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import orbax.checkpoint as ocp
 
 from ..models.stage1.vitvqgan import ViTVQ, _as_nhwc
 from ..models.stage2.transformer import CondTransformer
-from ..parallel.mesh import batch_sharding, is_main_process, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, is_main_process, make_mesh
 from ..parallel.sharding import gpt_param_specs, place_params, replicated_specs
-from ..utils.callback import ImageLogger, SetupCallback
+from ..utils.callback import ImageLogger
 from .optim import make_ae_optimizer, make_gpt_optimizer
 from .steps import (
     GANTrainState,

@@ -7,7 +7,7 @@ package is available (gated; not installed in this image).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
