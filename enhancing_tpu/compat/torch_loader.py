@@ -259,3 +259,68 @@ def load_gpt_params(path: str, params: Any,
         print(f"torch_loader: {len(skipped)} unmapped keys "
               f"(e.g. {skipped[:5]})")
     return params
+
+
+def load_style_discriminator_params(path: str, params: Any, size: int = 256,
+                                    ignore_keys: Sequence[str] = ()) -> Any:
+    """Map the reference checkpoint's ``loss.discriminator.*`` weights onto our
+    StyleDiscriminator tree (enables resuming GAN training at parity).
+
+    Reference layout (enhancing/losses/layers.py:214-377):
+      blocks.0            ConvLayer stem  [EqualConv2d, FusedLeakyReLU]
+      blocks.j (j>=1)     StyleBlock {conv1, conv2(downsample), skip}
+      final_conv          ConvLayer
+      final_linear.{0,1}  EqualLinear x2
+    Ours: stem / block_{res_log2} / final_conv / final_linear{1,2} with
+    HWIO conv kernels and (in, out) linear weights.
+    """
+    import jax
+    import math
+    sd = _filter_keys(load_torch_state_dict(path), ignore_keys)
+    disc = {k[len("loss.discriminator."):]: v for k, v in sd.items()
+            if k.startswith("loss.discriminator.")}
+    if not disc:
+        disc = sd  # already a bare discriminator state_dict
+    params = jax.tree.map(np.asarray, jax.device_get(params))
+    loaded: set = set()
+
+    def conv_w(v):   # (out, in, k, k) -> (k, k, in, out)
+        return np.transpose(v, (2, 3, 1, 0))
+
+    def put(dst, key, tf=None):
+        if key in disc:
+            val = disc[key]
+            if tf is not None:
+                val = tf(val)
+            if _set(params, dst, val):
+                loaded.add(key)
+
+    # stem (reference blocks.0)
+    put(["stem", "conv", "weight"], "blocks.0.0.weight", conv_w)
+    put(["stem", "act_bias"], "blocks.0.1.bias")
+
+    log_size = int(math.log2(size))
+    for j in range(1, log_size - 1):        # StyleBlocks
+        res = log_size - (j - 1)
+        base = [f"block_{res}"]
+        put(base + ["conv1", "conv", "weight"], f"blocks.{j}.conv1.0.weight",
+            conv_w)
+        put(base + ["conv1", "act_bias"], f"blocks.{j}.conv1.1.bias")
+        put(base + ["conv2", "conv", "weight"], f"blocks.{j}.conv2.1.weight",
+            conv_w)
+        put(base + ["conv2", "act_bias"], f"blocks.{j}.conv2.2.bias")
+        put(base + ["skip", "conv", "weight"], f"blocks.{j}.skip.1.weight",
+            conv_w)
+
+    put(["final_conv", "conv", "weight"], "final_conv.0.weight", conv_w)
+    put(["final_conv", "act_bias"], "final_conv.1.bias")
+    put(["final_linear1", "weight"], "final_linear.0.weight", np.transpose)
+    put(["final_linear1", "bias"], "final_linear.0.bias")
+    put(["final_linear2", "weight"], "final_linear.1.weight", np.transpose)
+    put(["final_linear2", "bias"], "final_linear.1.bias")
+
+    skipped = [k for k in disc if k not in loaded and ".kernel" not in k]
+    if skipped:
+        print(f"torch_loader(disc): {len(skipped)} unmapped keys "
+              f"(e.g. {skipped[:4]})")
+    return params

@@ -172,9 +172,22 @@ class ViTVQ:
     # -- checkpoint surgery (reference vitvqgan.py:50-59) ----------------------
 
     def init_from_ckpt(self, path: str, ignore_keys: Sequence[str] = ()) -> None:
-        from ...compat.torch_loader import load_vitvq_params
+        from ...compat.torch_loader import (
+            load_style_discriminator_params,
+            load_torch_state_dict,
+            load_vitvq_params,
+        )
         self.params = load_vitvq_params(path, self.params,
                                         ignore_keys=list(ignore_keys))
+        # Lightning checkpoints also carry the GAN discriminator
+        # (loss.discriminator.*) — load it for training continuation
+        if (self.loss is not None
+                and getattr(self.loss, "has_discriminator", False)
+                and any(k.startswith("loss.discriminator.")
+                        for k in load_torch_state_dict(path))):
+            self.loss.disc_init_params = load_style_discriminator_params(
+                path, self.loss.disc_init_params,
+                size=self.image_size, ignore_keys=list(ignore_keys))
         print(f"Restored from {path}")
 
     # -- functional API ---------------------------------------------------------

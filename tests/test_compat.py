@@ -300,3 +300,73 @@ def test_checkpoint_parity_scanned_vit(torch_and_jax, tmp_path, rng):
     rec_s = np.asarray(scanned.decode_codes(codes_scanned))
     rec_u = np.asarray(jmodel.decode_codes(codes_unrolled))
     np.testing.assert_allclose(rec_s, rec_u, atol=1e-5)
+
+
+def test_discriminator_checkpoint_mapping(tmp_path):
+    """loss.discriminator.* keys map onto StyleDiscriminator with correct
+    shapes/transposes (reference naming from losses/layers.py Sequential
+    indices)."""
+    import math
+    from enhancing_tpu.losses import StyleDiscriminator
+    size = 32
+    d = StyleDiscriminator(size=size)
+    vs = d.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    params = vs["params"]
+
+    # build a reference-shaped state dict from our shapes (inverse transforms)
+    rng = np.random.default_rng(0)
+    sd = {}
+    def conv_inv(p):  # (k,k,in,out) -> (out,in,k,k)
+        return rng.standard_normal(
+            (p.shape[3], p.shape[2], p.shape[0], p.shape[1])).astype(np.float32)
+    sd["loss.discriminator.blocks.0.0.weight"] = conv_inv(
+        params["stem"]["conv"]["weight"])
+    sd["loss.discriminator.blocks.0.1.bias"] = rng.standard_normal(
+        params["stem"]["act_bias"].shape).astype(np.float32)
+    log_size = int(math.log2(size))
+    for j in range(1, log_size - 1):
+        res = log_size - (j - 1)
+        blk = params[f"block_{res}"]
+        sd[f"loss.discriminator.blocks.{j}.conv1.0.weight"] = conv_inv(
+            blk["conv1"]["conv"]["weight"])
+        sd[f"loss.discriminator.blocks.{j}.conv1.1.bias"] = \
+            rng.standard_normal(blk["conv1"]["act_bias"].shape).astype(np.float32)
+        sd[f"loss.discriminator.blocks.{j}.conv2.1.weight"] = conv_inv(
+            blk["conv2"]["conv"]["weight"])
+        sd[f"loss.discriminator.blocks.{j}.conv2.2.bias"] = \
+            rng.standard_normal(blk["conv2"]["act_bias"].shape).astype(np.float32)
+        sd[f"loss.discriminator.blocks.{j}.skip.1.weight"] = conv_inv(
+            blk["skip"]["conv"]["weight"])
+    sd["loss.discriminator.final_conv.0.weight"] = conv_inv(
+        params["final_conv"]["conv"]["weight"])
+    sd["loss.discriminator.final_conv.1.bias"] = rng.standard_normal(
+        params["final_conv"]["act_bias"].shape).astype(np.float32)
+    for i, name in [(0, "final_linear1"), (1, "final_linear2")]:
+        w = params[name]["weight"]
+        sd[f"loss.discriminator.final_linear.{i}.weight"] = \
+            rng.standard_normal((w.shape[1], w.shape[0])).astype(np.float32)
+        sd[f"loss.discriminator.final_linear.{i}.bias"] = rng.standard_normal(
+            params[name]["bias"].shape).astype(np.float32)
+
+    path = tmp_path / "gan.ckpt"
+    torch.save({"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}},
+               path)
+    from enhancing_tpu.compat.torch_loader import load_style_discriminator_params
+    loaded = load_style_discriminator_params(str(path), params, size=size)
+
+    # spot check: transposes landed exactly
+    np.testing.assert_allclose(
+        loaded["stem"]["conv"]["weight"],
+        sd["loss.discriminator.blocks.0.0.weight"].transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        loaded["final_linear1"]["weight"],
+        sd["loss.discriminator.final_linear.0.weight"].T)
+    res = log_size  # first style block
+    np.testing.assert_allclose(
+        loaded[f"block_{res}"]["conv2"]["conv"]["weight"],
+        sd["loss.discriminator.blocks.1.conv2.1.weight"].transpose(2, 3, 1, 0))
+
+    # forward still runs with loaded params
+    out = StyleDiscriminator(size=size).apply(
+        {"params": loaded}, jnp.zeros((2, size, size, 3)))
+    assert out.shape == (2,)
