@@ -328,16 +328,22 @@ class GPT(nn.Module):
                 s_all = s_all.at[i].set(s.astype(s_all.dtype))
         return x, {"k": k_all, "v": v_all, "shift": s_all}
 
-    def _stack_decode(self, x, cur_len, cache):
+    def _stack_decode(self, x, cur_len, cache, window=None):
+        """``window``: static upper bound on cur_len for this step — attention
+        reads only the first ``window`` cache positions (a static slice),
+        cutting HBM traffic early in the decode when the cache is mostly
+        empty. None reads the full buffer."""
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        k_view = k_all[:, :, :, :window] if window else k_all
+        v_view = v_all[:, :, :, :window] if window else v_all
         if self.scan_layers:
             (x, _), (k_news, v_news, s_new) = self.blocks_stack.scan_decode(
-                (x, cur_len), (k_all, v_all, s_all))
+                (x, cur_len), (k_view, v_view, s_all))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []
             for i, block in enumerate(self.blocks):
-                x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len,
+                x, k, v, s = block.decode(x, k_view[i], v_view[i], cur_len,
                                           s_all[i])
                 k_cols.append(k)
                 v_cols.append(v)
@@ -363,16 +369,17 @@ class GPT(nn.Module):
         return logits, cache
 
     def decode_step(self, token: jax.Array, step: jax.Array,
-                    cache: Dict[str, jax.Array]
+                    cache: Dict[str, jax.Array], window: int | None = None
                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """token: (B,) code sampled at position step-1 (step >= 1).
 
-        Returns logits predicting code position ``step``.
+        Returns logits predicting code position ``step``. ``window`` is a
+        static cache-read bound (see _stack_decode).
         """
         pos = jnp.take(self.pos_emb_code[0], step - 1, axis=0)
         x = self.tok_emb_code(token)[:, None, :] + pos[None, None, :].astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
-        x, cache = self._stack_decode(x, cur_len, cache)
+        x, cache = self._stack_decode(x, cur_len, cache, window)
         x = self.layer_norm(x)
         logits = self.head(x[:, -1])
         return logits, cache

@@ -72,6 +72,11 @@ def sample_gpt(module, variables: Dict[str, Any], conds: jax.Array,
         nxt = _draw(sub, logits, temperature, top_k, top_p)
         return (nxt, cache, rng), (logits.astype(jnp.float32), nxt)
 
+    # NOTE: a bucketed variant (segments attending over statically-sliced
+    # cache prefixes) was measured SLOWER on v5e (2.2k vs 3.2k tok/s):
+    # slicing the scan carry materialises a copy of the window every step,
+    # costing more than the full-buffer read it saves. A true prefix-aware
+    # decode needs a Pallas kernel that skips cache chunk DMAs past cur_len.
     steps = jnp.arange(1, module.img_num_tokens)
     (_, _, _), (logits_rest, toks_rest) = jax.lax.scan(
         body, (tok0, cache, rng), steps)
