@@ -26,6 +26,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from ...ops.attention import multihead_attention_bnhd
+from ...ops.ffn import fused_ffn
 
 Size = Union[int, Tuple[int, int], Sequence[int]]
 
@@ -69,11 +70,29 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: Size) -> np.ndarray:
 dense_init = nn.initializers.xavier_uniform()
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout (kernel/bias) — lets the
+    fused FFN kernel consume the weights directly while keeping checkpoint
+    compatibility with the Dense-based layout."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", dense_init,
+                       (self.features_in, self.features_out))
+        b = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return k, b
+
+
 class FeedForward(nn.Module):
     """Position-wise MLP with Tanh hidden activation.
 
     The reference uses Tanh (not GELU) in the stage-1 FFN
-    (enhancing/modules/stage1/layers.py:95-105).
+    (enhancing/modules/stage1/layers.py:95-105). On TPU both matmuls and the
+    activation run as one fused Pallas kernel with the (tokens, mlp_dim)
+    hidden kept in VMEM (ops/ffn.py).
     """
 
     dim: int
@@ -82,10 +101,10 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, kernel_init=dense_init, dtype=self.dtype, name="fc1")(x)
-        x = jnp.tanh(x)
-        x = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype, name="fc2")(x)
-        return x
+        w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+        return fused_ffn(x.astype(self.dtype), w1, b1, w2, b2,
+                         activation="tanh")
 
 
 class Attention(nn.Module):

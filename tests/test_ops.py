@@ -120,3 +120,24 @@ def test_attention_bnhd_matches_bhnd(rng):
     out = att._attention_pallas_bnhd(q, k, v, d**-0.5, "none", 0)
     np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
                                np.asarray(ref), atol=2e-5)
+
+
+def test_fused_ffn_matches_xla(rng):
+    from enhancing_tpu.ops import ffn
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((128, 256)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(256) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((256, 128)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+    for act in ("tanh", "sqrelu", "gelu"):
+        ref = ffn._ffn_xla(x, w1, b1, w2, b2, act)
+        out = ffn._ffn_pallas(x, w1, b1, w2, b2, act)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=act)
+    # gradients flow through the fused op
+    g = jax.grad(lambda x: jnp.sum(
+        ffn._ffn_fused(x, w1, b1, w2, b2, "tanh") ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(
+        ffn._ffn_xla(x, w1, b1, w2, b2, "tanh") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-3)
