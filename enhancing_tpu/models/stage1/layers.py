@@ -90,9 +90,12 @@ class FeedForward(nn.Module):
     """Position-wise MLP with Tanh hidden activation.
 
     The reference uses Tanh (not GELU) in the stage-1 FFN
-    (enhancing/modules/stage1/layers.py:95-105). On TPU both matmuls and the
-    activation run as one fused Pallas kernel with the (tokens, mlp_dim)
-    hidden kept in VMEM (ops/ffn.py).
+    (enhancing/modules/stage1/layers.py:95-105).
+
+    Set ENHANCING_TPU_FUSED_FFN=1 to route through the fused Pallas kernel
+    (ops/ffn.py) — measured ~2% slower than XLA's pipelined matmuls on v5e
+    for the base model, but potentially faster where HBM bandwidth is
+    scarcer relative to FLOPs.
     """
 
     dim: int
@@ -101,10 +104,17 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
-        w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
-        return fused_ffn(x.astype(self.dtype), w1, b1, w2, b2,
-                         activation="tanh")
+        import os
+        if os.environ.get("ENHANCING_TPU_FUSED_FFN"):
+            w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
+            w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+            return fused_ffn(x.astype(self.dtype), w1, b1, w2, b2,
+                             activation="tanh", impl="pallas")
+        x = nn.Dense(self.hidden_dim, kernel_init=dense_init,
+                     dtype=self.dtype, name="fc1")(x)
+        x = jnp.tanh(x)
+        return nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
+                        name="fc2")(x)
 
 
 class Attention(nn.Module):

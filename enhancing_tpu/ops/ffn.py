@@ -39,11 +39,12 @@ def _act(h, activation: str):
 
 
 def _ffn_xla(x, w1, b1, w2, b2, activation):
-    h = _act(jnp.dot(x, w1, preferred_element_type=jnp.float32)
-             + b1.astype(jnp.float32), activation)
-    out = jnp.dot(h.astype(x.dtype), w2,
-                  preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
-    return out.astype(x.dtype)
+    # match nn.Dense exactly: plain dots in the compute dtype. Forcing
+    # preferred_element_type=f32 + astype costs an extra convert pass over
+    # the (tokens, mlp_dim) hidden (measured +7ms on the ViT-base headline);
+    # the MXU accumulates bf16 products in fp32 internally regardless.
+    h = _act(jnp.dot(x, w1) + b1.astype(x.dtype), activation)
+    return jnp.dot(h, w2) + b2.astype(x.dtype)
 
 
 _H_CHUNK = 512  # hidden-dim tile: keeps the fp32 hidden slab small
