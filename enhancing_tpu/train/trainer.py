@@ -41,7 +41,8 @@ class Trainer:
                  log_every: int = 50,
                  callbacks: Optional[list] = None,
                  max_steps: Optional[int] = None,
-                 split_gan_step: bool = False) -> None:
+                 split_gan_step: bool = False,
+                 metrics_logger=None) -> None:
         self.max_epochs = max_epochs
         self.base_lr = base_lr
         self.use_amp = use_amp
@@ -55,6 +56,7 @@ class Trainer:
         self.callbacks = callbacks or []
         self.max_steps = max_steps
         self.split_gan_step = split_gan_step
+        self.metrics_logger = metrics_logger  # e.g. utils.logging.WandbLogger
         self.global_step = 0
         self._ckpt_mgr = None
         if self.basedir is not None and is_main_process():
@@ -224,9 +226,11 @@ class Trainer:
 
     def _maybe_log(self, log: Dict[str, Any], epoch: int) -> None:
         if self.global_step % self.log_every == 0 and is_main_process():
+            metrics = {k: float(v) for k, v in log.items()}
             self._print_metrics(
-                {k: float(v) for k, v in log.items()},
-                prefix=f"[epoch {epoch} step {self.global_step}]")
+                metrics, prefix=f"[epoch {epoch} step {self.global_step}]")
+            if self.metrics_logger is not None:
+                self.metrics_logger.log_metrics(metrics, self.global_step)
 
     def _print_metrics(self, metrics: Dict[str, float], prefix: str) -> None:
         parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))

@@ -89,7 +89,8 @@ def main() -> None:
                       basedir=str(basedir), seed=args.seed, mesh=mesh,
                       callbacks=[setup_cb, image_cb],
                       max_steps=args.max_steps,
-                      split_gan_step=args.split_gan_step)
+                      split_gan_step=args.split_gan_step,
+                      metrics_logger=wandb_logger)
     trainer.fit(model, data)
 
 
