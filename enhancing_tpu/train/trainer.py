@@ -59,7 +59,11 @@ class Trainer:
         self.metrics_logger = metrics_logger  # e.g. utils.logging.WandbLogger
         self.global_step = 0
         self._ckpt_mgr = None
-        if self.basedir is not None and is_main_process():
+        if self.basedir is not None:
+            # created on EVERY process: orbax save/restore are collective
+            # across hosts (StandardSave gathers shards from all of them) —
+            # gating on process 0 would deadlock a multi-host run. Orbax
+            # itself coordinates who writes what.
             self._ckpt_mgr = ocp.CheckpointManager(
                 (self.basedir / "ckpt").absolute(),
                 options=ocp.CheckpointManagerOptions(max_to_keep=None))
@@ -175,15 +179,25 @@ class Trainer:
     def _validate_stage1(self, model, data, state, eval_step, epoch) -> None:
         if "validation" not in getattr(data, "datasets", {}):
             return
+        image_loggers = [cb for cb in self.callbacks
+                         if isinstance(cb, ImageLogger)]
         logs = []
-        for batch in data.val_dataloader():
+        for batch_idx, batch in enumerate(data.val_dataloader()):
             x = self._shard(_as_nhwc(jnp.asarray(
                 batch[model.image_key], jnp.float32)))
             logs.append(eval_step(state, x))
+            # reference logs reconstruction grids on validation batches too
+            # (callback.py:134-141); frequency checked on batch_idx so the
+            # first val batch of every epoch logs
+            for il in image_loggers:
+                il.log_img(model, batch, self.global_step, "val",
+                           check_idx=batch_idx)
         if logs:
             mean_log = {k: float(np.mean([float(l[k]) for l in logs]))
                         for k in logs[0]}
             self._print_metrics(mean_log, prefix=f"[epoch {epoch} val]")
+            if self.metrics_logger is not None and is_main_process():
+                self.metrics_logger.log_metrics(mean_log, self.global_step)
 
     def _fit_stage2(self, model: CondTransformer, data) -> None:
         state, train_step = self._build_stage2(model)
@@ -218,11 +232,14 @@ class Trainer:
 
     def _gumbel_temp(self, model) -> float:
         ts = getattr(model, "temperature_scheduler", None)
-        if ts is None:
-            return float(getattr(
-                getattr(model.module, "quantizer", None), "temp_init", 1.0)
-                if hasattr(model.module, "quantizer") else 1.0)
-        return float(ts(self.global_step))
+        if ts is not None:
+            return float(ts(self.global_step))
+        # module.quantizer is the quantizer *config dict* (vitvqgan.py:36),
+        # not the flax submodule — read the configured temp_init from it.
+        quant_cfg = getattr(model.module, "quantizer", None)
+        if isinstance(quant_cfg, dict):
+            return float(quant_cfg.get("temp_init", 1.0))
+        return 1.0
 
     def _maybe_log(self, log: Dict[str, Any], epoch: int) -> None:
         if self.global_step % self.log_every == 0 and is_main_process():

@@ -71,8 +71,12 @@ class ImageLogger:
         return False
 
     def log_img(self, model, batch: Dict, step: int,
-                split: str = "train", **kwargs) -> None:
-        if not (is_main_process() and self.check_frequency(step)
+                split: str = "train", check_idx: Optional[int] = None,
+                **kwargs) -> None:
+        # reference checks frequency on batch_idx (val: first batch of each
+        # epoch logs) but names files by global step (callback.py:125-141)
+        check_idx = step if check_idx is None else check_idx
+        if not (is_main_process() and self.check_frequency(check_idx)
                 and hasattr(model, "log_images")):
             return
         batch = {k: (v[: self.max_images] if hasattr(v, "__getitem__")

@@ -3,24 +3,37 @@
 Functional parity with the reference's SimpleTokenizer
 (reference: enhancing/utils/tokenizer.py:51-151), implemented from the BPE
 algorithm: byte->unicode table, greedy lowest-rank merge loop, and
-``tokenize`` producing fixed-length int sequences wrapped in
-<|startoftext|>/<|endoftext|>.
+``tokenize`` producing fixed-length int sequences (no SOT/EOT wrapping —
+the reference's tokenize() emits bare caption tokens, tokenizer.py:136-151).
 
-The merges vocabulary is a *data file* (the standard CLIP
-``bpe_simple_vocab_16e6.txt``); it is not vendored — pass ``bpe_path`` or
-place it at assets/vocab/bpe_simple_vocab_16e6.txt.
+Token-split pattern is CLIP's exact one (letters-only runs, per-character
+digits): ``[\\p{L}]+|[\\p{N}]|[^\\s\\p{L}\\p{N}]+`` via the ``regex`` module,
+so token IDs match the reference byte-for-byte (reference tokenizer.py:74-76).
+
+The merges vocabulary is the standard public CLIP
+``bpe_simple_vocab_16e6.txt`` (OpenAI CLIP repo); a gzipped copy is vendored
+at assets/vocab/bpe_simple_vocab_16e6.txt.gz.
 """
 from __future__ import annotations
 
 import gzip
 import html
 import os
-import re
 from functools import lru_cache
 from pathlib import Path
 from typing import List, Optional, Union
 
 import numpy as np
+import regex as re
+
+try:  # reference cleans text with ftfy (tokenizer.py:41-44); not in image
+    import ftfy
+
+    def _fix_text(text: str) -> str:
+        return ftfy.fix_text(text)
+except ImportError:  # pragma: no cover - env without ftfy
+    def _fix_text(text: str) -> str:
+        return text
 
 DEFAULT_BPE_PATHS = (
     "assets/vocab/bpe_simple_vocab_16e6.txt",
@@ -54,6 +67,7 @@ def get_pairs(word):
 
 
 def basic_clean(text: str) -> str:
+    text = _fix_text(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
@@ -63,8 +77,10 @@ def whitespace_clean(text: str) -> str:
 
 
 def _find_bpe_file(path: Optional[str]) -> str:
+    repo_root = Path(__file__).resolve().parents[2]
     candidates = [path] if path else []
     candidates += [str(Path(os.getcwd()) / p) for p in DEFAULT_BPE_PATHS]
+    candidates += [str(repo_root / p) for p in DEFAULT_BPE_PATHS]
     for c in candidates:
         if c and Path(c).is_file():
             return c
@@ -74,7 +90,11 @@ def _find_bpe_file(path: Optional[str]) -> str:
 
 
 class SimpleTokenizer:
-    def __init__(self, bpe_path: Optional[str] = None) -> None:
+    def __init__(self, bpe_path: Optional[str] = None,
+                 text_length: int = 256,
+                 truncate_captions: bool = True) -> None:
+        self.context_length = text_length
+        self.truncate_text = truncate_captions
         bpe_path = _find_bpe_file(bpe_path)
         if bpe_path.endswith(".gz"):
             merges = gzip.open(bpe_path, "rt", encoding="utf-8").read()
@@ -97,9 +117,11 @@ class SimpleTokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.cache = {"<|startoftext|>": "<|startoftext|>",
                       "<|endoftext|>": "<|endoftext|>"}
+        # CLIP's exact token-split pattern (reference tokenizer.py:74-76):
+        # letter runs stay whole, digits split per character.
         self.pat = re.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-            r"|[^\s\w]+|\w+", re.IGNORECASE)
+            r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", re.IGNORECASE)
         self.vocab_size = len(self.encoder)
 
     def bpe(self, token: str) -> str:
@@ -159,18 +181,21 @@ class SimpleTokenizer:
             text = text.replace(special, "")
         return text.strip()
 
-    def tokenize(self, texts: Union[str, List[str]], context_length: int = 77,
-                 truncate_text: bool = False) -> np.ndarray:
-        """Fixed-length int32 token matrix with SOT/EOT wrapping
-        (reference tokenizer.py:121-151)."""
+    def tokenize(self, texts: Union[str, List[str]],
+                 context_length: Optional[int] = None,
+                 truncate_text: Optional[bool] = None) -> np.ndarray:
+        """Fixed-length int32 token matrix — bare caption tokens, no SOT/EOT
+        wrapping, zero-padded (reference tokenizer.py:136-151)."""
         single = isinstance(texts, str)
         if single:
             texts = [texts]
-        sot = self.encoder["<|startoftext|>"]
-        eot = self.encoder["<|endoftext|>"]
+        context_length = (self.context_length if context_length is None
+                          else context_length)
+        truncate_text = (self.truncate_text if truncate_text is None
+                         else truncate_text)
         result = np.zeros((len(texts), context_length), np.int32)
         for i, text in enumerate(texts):
-            tokens = [sot] + self.encode(text) + [eot]
+            tokens = self.encode(text)
             if len(tokens) > context_length:
                 if truncate_text:
                     tokens = tokens[:context_length]

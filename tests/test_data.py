@@ -13,7 +13,8 @@ from enhancing_tpu.data.transforms import (
     resize,
 )
 
-REF_VOCAB = "/root/reference/assets/vocab/bpe_simple_vocab_16e6.txt"
+REPO_ROOT = Path(__file__).resolve().parents[1]
+REF_VOCAB = str(REPO_ROOT / "assets/vocab/bpe_simple_vocab_16e6.txt.gz")
 
 
 def test_fake_dataset_deterministic():
@@ -102,14 +103,84 @@ def test_clip_tokenizer_roundtrip():
     text = "a photo of a cat sitting on a mat"
     ids = tok.encode(text)
     assert tok.decode(ids) == text
+    # bare caption tokens, no SOT/EOT wrapping (reference tokenizer.py:136-151)
     arr = tok.tokenize(text, context_length=77)
     assert arr.shape == (77,)
-    assert arr[0] == tok.encoder["<|startoftext|>"]
-    eot = tok.encoder["<|endoftext|>"]
-    assert eot in arr.tolist()
+    assert arr[0] == ids[0]
+    assert tok.encoder["<|startoftext|>"] not in arr.tolist()
     # batch form
     arr2 = tok.tokenize([text, "dog"], context_length=16, truncate_text=True)
     assert arr2.shape == (2, 16)
+
+
+GOLDEN_TEXTS = [
+    "a photo of a cat sitting on a mat",
+    "route 66, the year 1984 and 3.14159 pies",
+    "snake_case_words and CamelCase MIXED with UPPER",
+    "punctuation!!! ... ??? -- (parentheses) [brackets] {braces}",
+    "it's we've they'll i'm you're he'd don't",
+    "unicode: café naïve Zürich 東京 emoji 🎉 done",
+    "digits2words34mix5 a1b2c3",
+]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VOCAB),
+                    reason="CLIP vocab data file not present")
+def test_clip_tokenizer_digit_splitting():
+    """CLIP splits digits per-character; letters-only runs stay whole."""
+    from enhancing_tpu.utils.tokenizer import SimpleTokenizer
+    tok = SimpleTokenizer(bpe_path=REF_VOCAB)
+    words = [m for m in tok.pat.findall("year 1984 ok")]
+    assert words == ["year", "1", "9", "8", "4", "ok"]
+    # '_' is not a letter: snake_case splits on the underscore
+    assert tok.pat.findall("a_b") == ["a", "_", "b"]
+
+
+def _load_reference_tokenizer():
+    """File-spec import of the actual reference tokenizer (ftfy stubbed)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda t: t
+        sys.modules["ftfy"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "_ref_tokenizer", "/root/reference/enhancing/utils/tokenizer.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/enhancing/utils/tokenizer.py"),
+    reason="reference checkout not present")
+def test_clip_tokenizer_golden_vs_reference():
+    """Token IDs match the ACTUAL reference tokenizer on digit/punct fixtures."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from enhancing_tpu.utils.tokenizer import SimpleTokenizer
+
+    ref_mod = _load_reference_tokenizer()
+    with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
+        with gzip.open(REF_VOCAB, "rb") as g:
+            shutil.copyfileobj(g, f)
+        plain_vocab = f.name
+    try:
+        ref = ref_mod.SimpleTokenizer(bpe_path=plain_vocab, text_length=77)
+        ours = SimpleTokenizer(bpe_path=REF_VOCAB, text_length=77)
+        for text in GOLDEN_TEXTS:
+            ref_ids = ref.encode(text)
+            our_ids = ours.encode(text)
+            assert our_ids == ref_ids, text
+            ref_mat = ref.tokenize([text]).numpy()
+            our_mat = ours.tokenize([text])
+            np.testing.assert_array_equal(our_mat, ref_mat.astype(np.int32))
+    finally:
+        os.unlink(plain_vocab)
 
 
 def test_textimage_dataset(tmp_path, rng):

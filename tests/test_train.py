@@ -222,3 +222,47 @@ def test_split_gan_step_matches_semantics():
     assert int(trainer.final_state.step) == 3
     for leaf in jax.tree.leaves(trainer.final_state.ae_params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gumbel_temp_reads_configured_temp_init():
+    """Configured quantizer temp_init is honored when no scheduler is set
+    (regression: getattr on the config dict used to always yield 1.0)."""
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQGumbel
+    model = ViTVQGumbel(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+        quantizer=dict(Q, temp_init=0.37))
+    trainer = Trainer(max_epochs=1, base_lr=1e-4)
+    assert trainer._gumbel_temp(model) == pytest.approx(0.37)
+
+
+class _RecordingLogger:
+    def __init__(self):
+        self.metrics = []
+        self.images = []
+
+    def log_metrics(self, metrics, step):
+        self.metrics.append((step, dict(metrics)))
+
+    def log_images(self, tag, imgs, step):
+        self.images.append((tag, step))
+
+
+def test_validation_images_and_metrics_logged(tmp_path):
+    """Validation runs log reconstruction grids (split='val') and push the
+    mean val metrics to the metrics logger (reference callback.py:134-141)."""
+    from enhancing_tpu.utils.callback import ImageLogger
+    rec = _RecordingLogger()
+    il = ImageLogger(batch_frequency=10, max_images=2, logdir=tmp_path,
+                     wandb_logger=rec)
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q,
+                  loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2,
+                      callbacks=[il], metrics_logger=rec)
+    trainer.fit(model, build_data())
+    val_dir = tmp_path / "results" / "val"
+    assert val_dir.is_dir() and list(val_dir.glob("*.png"))
+    assert any(tag.startswith("val/") for tag, _ in rec.images)
+    assert any("val/rec_loss" in m for _, m in rec.metrics)
