@@ -1,11 +1,11 @@
-"""Checkpoint-compat parity: torch reference-architecture -> our loader -> JAX.
+"""Loader-mechanics tests: torch state_dicts -> compat.torch_loader -> JAX.
 
-We cannot download the released HF weights (zero-egress env), so the gate is:
-build an *independent* torch implementation of the reference architecture
-(same state_dict naming), run it on random weights + data, load that
-state_dict through compat.torch_loader, and demand matching codes and
-reconstructions from the JAX model. Every mapping the real checkpoints need
-is exercised.
+NOTE: numerical parity with the reference is proven by
+tests/test_reference_parity.py, which imports the ACTUAL reference modules
+from /root/reference. This file keeps a small independent torch clone to
+exercise loader mechanics that don't need the reference checkout (ignore_keys
+surgery, scan-stacked layouts, discriminator key mapping) and to stay green
+in environments without /root/reference.
 """
 import math
 

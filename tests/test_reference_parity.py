@@ -1,0 +1,241 @@
+"""Golden parity against the ACTUAL reference implementation.
+
+Unlike test_compat.py (which drives the torch loaders through an independent
+torch clone), these tests file-spec-import the real reference modules from
+/root/reference — enhancing/modules/stage1/{layers,quantizers}.py and
+stage2/layers.py — seed them, export their state_dict, load it through
+compat.torch_loader, and demand matching codes / reconstructions / logits
+from the JAX models. This is the BASELINE gate's evidence that the released
+HF checkpoints will load to numerical parity.
+
+Import shims (the reference targets torch 1.x-era deps):
+- ``np.float`` alias (removed in numpy>=1.24; reference layers.py:57)
+- ``omegaconf`` stub (type-hint-only use in stage2/layers.py:14)
+"""
+import importlib.util
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REF_ROOT = "/root/reference/enhancing/modules"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not present")
+
+
+def _ref_import(relpath: str, name: str):
+    if not hasattr(np, "float"):
+        np.float = float  # noqa: NPY001 - alias the reference expects
+    if "omegaconf" not in sys.modules:
+        stub = types.ModuleType("omegaconf")
+        stub.OmegaConf = dict
+        sys.modules["omegaconf"] = stub
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_ROOT, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_stage1():
+    return _ref_import("stage1/layers.py", "_ref_s1_layers")
+
+
+@pytest.fixture(scope="module")
+def ref_quant():
+    return _ref_import("stage1/quantizers.py", "_ref_s1_quantizers")
+
+
+@pytest.fixture(scope="module")
+def ref_stage2():
+    return _ref_import("stage2/layers.py", "_ref_s2_layers")
+
+
+ENC = dict(dim=64, depth=2, heads=2, mlp_dim=128)
+IMAGE, PATCH, EMBED, NEMBED = 32, 8, 16, 64
+
+
+class _RefViTVQ(torch.nn.Module):
+    """The reference ViTVQ glue (vitvqgan.py:24-80) over the reference's own
+    Encoder/Decoder/VectorQuantizer classes, so state_dict keys are exactly
+    the released-checkpoint layout. vitvqgan.py itself needs lightning +
+    torchvision (not in image); this reproduces only its 4-line composition:
+    encoder -> pre_quant -> quantizer -> post_quant -> decoder.
+    """
+
+    def __init__(self, layers_mod, quant_mod, **q_kwargs):
+        super().__init__()
+        self.encoder = layers_mod.ViTEncoder(
+            image_size=IMAGE, patch_size=PATCH, **ENC)
+        self.decoder = layers_mod.ViTDecoder(
+            image_size=IMAGE, patch_size=PATCH, **ENC)
+        self.quantizer = quant_mod.VectorQuantizer(
+            embed_dim=EMBED, n_embed=NEMBED, **q_kwargs)
+        self.pre_quant = torch.nn.Linear(ENC["dim"], EMBED)
+        self.post_quant = torch.nn.Linear(EMBED, ENC["dim"])
+
+    def forward(self, img):  # NCHW
+        h = self.pre_quant(self.encoder(img))
+        z_q, loss, indices = self.quantizer(h)
+        return self.decoder(self.post_quant(z_q)), loss, indices
+
+
+@pytest.fixture(scope="module")
+def ref_and_jax_vitvq(ref_stage1, ref_quant, tmp_path_factory):
+    torch.manual_seed(0)
+    ref = _RefViTVQ(ref_stage1, ref_quant).eval()
+    path = tmp_path_factory.mktemp("refckpt") / "ref.ckpt"
+    torch.save({"state_dict": ref.state_dict()}, path)
+
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    ours = ViTVQ(image_size=IMAGE, patch_size=PATCH, encoder=ENC, decoder=ENC,
+                 quantizer=dict(embed_dim=EMBED, n_embed=NEMBED),
+                 path=str(path))
+    return ref, ours
+
+
+def test_stage1_codes_match_reference(ref_and_jax_vitvq, rng):
+    ref, ours = ref_and_jax_vitvq
+    img = rng.random((2, IMAGE, IMAGE, 3)).astype(np.float32)
+    with torch.no_grad():
+        _, _, ref_idx = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    codes = ours.encode_codes(img)
+    np.testing.assert_array_equal(np.asarray(codes), ref_idx.numpy())
+
+
+def test_stage1_reconstruction_matches_reference(ref_and_jax_vitvq, rng):
+    ref, ours = ref_and_jax_vitvq
+    img = rng.random((2, IMAGE, IMAGE, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_rec, ref_loss, _ = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    rec, qloss = ours(img)
+    np.testing.assert_allclose(np.asarray(rec),
+                               ref_rec.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(qloss), float(ref_loss), atol=1e-5)
+
+
+def test_stage1_decode_codes_matches_reference(ref_and_jax_vitvq, rng):
+    ref, ours = ref_and_jax_vitvq
+    codes = rng.integers(0, NEMBED, (2, (IMAGE // PATCH) ** 2))
+    with torch.no_grad():
+        z_q = torch.nn.functional.normalize(
+            ref.quantizer.embedding(torch.from_numpy(codes)), dim=-1)
+        ref_dec = ref.decoder(ref.post_quant(z_q))
+    dec = ours.decode_codes(jnp.asarray(codes))
+    np.testing.assert_allclose(np.asarray(dec),
+                               ref_dec.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4)
+
+
+def test_residual_quantizer_matches_reference(ref_quant, rng):
+    """RQ depth loop: quantized sum, per-depth indices, mean loss
+    (reference quantizers.py:38-63)."""
+    torch.manual_seed(3)
+    ref = ref_quant.VectorQuantizer(embed_dim=EMBED, n_embed=NEMBED,
+                                    use_residual=True, num_quantizers=4).eval()
+    from enhancing_tpu.models.stage1.quantizers import VectorQuantizer
+    ours = VectorQuantizer(embed_dim=EMBED, n_embed=NEMBED,
+                           use_residual=True, num_quantizers=4)
+    params = {"embedding": ref.embedding.weight.detach().numpy()}
+
+    z = rng.standard_normal((2, 9, EMBED)).astype(np.float32)
+    with torch.no_grad():
+        ref_zq, ref_loss, ref_idx = ref(torch.from_numpy(z))
+    zq, loss, idx = ours.apply({"params": params}, jnp.asarray(z))
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx.numpy())
+    np.testing.assert_allclose(np.asarray(zq), ref_zq.numpy(), atol=1e-5)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+
+
+def test_gumbel_kl_loss_matches_reference(ref_quant, rng):
+    """The KL-to-uniform prior loss is a deterministic function of the logits
+    and must match (quantizers.py:118-121). The sampled one-hot path is
+    stochastic in the reference even at eval (gumbel noise) so outputs are
+    not comparable sample-for-sample."""
+    torch.manual_seed(4)
+    ref = ref_quant.GumbelQuantizer(embed_dim=EMBED, n_embed=NEMBED).eval()
+    from enhancing_tpu.models.stage1.quantizers import GumbelQuantizer
+    ours = GumbelQuantizer(embed_dim=EMBED, n_embed=NEMBED)
+    params = {"embedding": ref.embedding.weight.detach().numpy()}
+
+    z = rng.standard_normal((2, 9, EMBED)).astype(np.float32)
+    with torch.no_grad():
+        _, ref_loss, _ = ref(torch.from_numpy(z))
+    _, loss, _ = ours.apply({"params": params}, jnp.asarray(z),
+                            deterministic=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
+
+
+def test_stage2_gpt_logits_match_reference(ref_stage2, rng):
+    """Forward logits through the real reference GPT (token-shift attention,
+    prefix-causal mask, squared-ReLU MLP; stage2/layers.py:146-212)."""
+    torch.manual_seed(5)
+    ref = ref_stage2.GPT(vocab_cond_size=10, vocab_img_size=32, embed_dim=32,
+                         cond_num_tokens=1, img_num_tokens=8, n_heads=2,
+                         n_layers=2).eval()
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ckpt", delete=False) as f:
+        torch.save({"state_dict": ref.state_dict()}, f.name)
+        path = f.name
+    try:
+        from enhancing_tpu.compat.torch_loader import load_gpt_params
+        from enhancing_tpu.models.stage2 import GPT
+        ours = GPT(vocab_cond_size=10, vocab_img_size=32, embed_dim=32,
+                   cond_num_tokens=1, img_num_tokens=8, n_heads=2, n_layers=2)
+        vs = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                       jnp.zeros((1, 1), jnp.int32))
+        params = load_gpt_params(path, vs["params"])
+
+        codes = rng.integers(0, 32, (2, 8))
+        conds = rng.integers(0, 10, (2, 1))
+        with torch.no_grad():
+            ref_logits = ref(torch.from_numpy(codes), torch.from_numpy(conds))
+        logits = ours.apply({"params": params}, jnp.asarray(codes),
+                            jnp.asarray(conds))
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+    finally:
+        os.unlink(path)
+
+
+def test_stage2_gpt_sample_step_matches_reference(ref_stage2, rng):
+    """First decode step (cond prefix only): the reference's sample_step
+    logits (stage2/layers.py:268-303, use_fp16=False) must match our KV-cache
+    decode's first-step logits."""
+    torch.manual_seed(6)
+    ref = ref_stage2.GPT(vocab_cond_size=10, vocab_img_size=32, embed_dim=32,
+                         cond_num_tokens=1, img_num_tokens=8, n_heads=2,
+                         n_layers=2).eval()
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ckpt", delete=False) as f:
+        torch.save({"state_dict": ref.state_dict()}, f.name)
+        path = f.name
+    try:
+        from enhancing_tpu.compat.torch_loader import load_gpt_params
+        from enhancing_tpu.models.stage2 import GPT
+        ours = GPT(vocab_cond_size=10, vocab_img_size=32, embed_dim=32,
+                   cond_num_tokens=1, img_num_tokens=8, n_heads=2, n_layers=2)
+        vs = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                       jnp.zeros((1, 1), jnp.int32))
+        params = load_gpt_params(path, vs["params"])
+
+        conds = rng.integers(0, 10, (2, 1))
+        with torch.no_grad():
+            ref_logits, _ = ref.sample_step(None, torch.from_numpy(conds),
+                                            None, use_fp16=False)
+        # ours: full forward on an empty code prefix gives the same
+        # next-token distribution as the reference's first sample_step
+        logits = ours.apply({"params": params},
+                            jnp.zeros((2, 8), jnp.int32), jnp.asarray(conds))
+        np.testing.assert_allclose(np.asarray(logits[:, 0]),
+                                   ref_logits.numpy(), atol=2e-4, rtol=1e-3)
+    finally:
+        os.unlink(path)
