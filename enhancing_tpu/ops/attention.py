@@ -174,9 +174,126 @@ def multihead_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 
 # ---------------------------------------------------------------------------
-# Transpose-free layout: q/k/v as (B, N, H, D) — the natural reshape of the
-# fused qkv projection output. Avoids materialising per-layer
-# (B,H,N,D) transposed copies (~300MB/layer for ViT-base at batch 64).
+# Packed head-pair kernel: q/k/v as (B, N, H*D) — the NATIVE layout of the
+# fused qkv projection output. No (B,H,N,D) transposes ever touch HBM.
+#
+# Mosaic tiling requires lane-dim blocks in multiples of 128, so a single
+# D=64 head can't be a block — instead each program owns a 128-lane SLAB
+# holding two heads. Per-head scores come from zero-masking the q lanes of
+# the other head before the contraction-128 matmul (the masked half
+# contributes zeros — the same wasted MXU columns the hardware would pad a
+# D=64 contraction with, but now lane-aligned and at full issue rate).
+#
+# VPU economy (the old kernel was softmax-bound, ~2.7 ms/layer of VPU at
+# ViT-base/b64): the score scale is folded into q OUTSIDE the kernel (an
+# O(N*HD) pass fused into the projection, not an O(N^2) pass here), and the
+# 1/sum normalisation multiplies the (bq, 128) OUTPUT instead of the
+# (bq, N) probability matrix — two full passes over N^2 removed.
+# ---------------------------------------------------------------------------
+
+LANES = 128
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
+                        cond_len: int, block_q: int, heads_per_slab: int,
+                        head_dim: int):
+    qi = pl.program_id(2)
+    q = q_ref[0]                               # (bq, 128) bf16, pre-scaled
+    k = k_ref[0]                               # (M, 128)
+    v = v_ref[0]
+
+    def scores(qh):
+        s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if mask_mode == "prefix_causal":
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + qi * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+            s = jnp.where(allowed, s, NEG_INF)
+        return s
+
+    def softmax_unnorm(s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        return e.astype(v.dtype), r               # (bq, M) bf16, (bq, 1) f32
+
+    if heads_per_slab == 1:                       # one D=128 head per slab
+        e, r = softmax_unnorm(scores(q))
+        o = jnp.dot(e, v, preferred_element_type=jnp.float32) * r
+    else:                                         # two D=64 heads per slab
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        qa = jnp.where(lane < head_dim, q, jnp.zeros_like(q))
+        qb = q - qa
+        ea, ra = softmax_unnorm(scores(qa))
+        eb, rb = softmax_unnorm(scores(qb))
+        oa = jnp.dot(ea, v, preferred_element_type=jnp.float32)
+        ob = jnp.dot(eb, v, preferred_element_type=jnp.float32)
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, oa.shape, 1)
+        o = jnp.where(lane_o < head_dim, oa * ra, ob * rb)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _packed_block_q(n: int, m: int, heads_per_slab: int) -> int:
+    # fp32 score tiles are the VMEM hog: heads_per_slab * block_q * M * 4B
+    # (plus ~1 intermediate of the same size); budget them to ~4MB live.
+    budget = 4 * 1024 * 1024
+    block_q = 1024
+    while block_q > 128 and heads_per_slab * block_q * m * 4 > budget:
+        block_q //= 2
+    return min(block_q, n)
+
+
+def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim):
+    """q3, k3, v3: (B, N, H*D) with H*D % 128 == 0 and D in {64, 128}.
+    q3 must already carry the softmax scale."""
+    b, n, hd = q3.shape
+    m = k3.shape[1]
+    heads_per_slab = LANES // head_dim
+    slabs = hd // LANES
+    block_q = _packed_block_q(n, m, heads_per_slab)
+    grid = (b, slabs, cdiv(n, block_q))
+    n_heads = hd // head_dim
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed, mask_mode=mask_mode,
+                          cond_len=cond_len, block_q=block_q,
+                          heads_per_slab=heads_per_slab, head_dim=head_dim),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * m * hd * (2 if heads_per_slab == 2 else 1),
+            bytes_accessed=(q3.size + k3.size + v3.size + q3.size)
+            * q3.dtype.itemsize,
+            transcendentals=b * n_heads * n * m,
+        ),
+        interpret=interpret_mode(),
+    )(q3, k3, v3)
+
+
+def _packed_supported(n_heads: int, head_dim: int, n: int, m: int) -> bool:
+    if head_dim not in (64, 128):
+        return False
+    if (n_heads * head_dim) % LANES:
+        return False
+    # bf16 sublane tile is 16: keep full kv tiles; q blocks may be partial
+    # only in the last grid step, which Mosaic pads.
+    return n >= 16 and m >= 16 and m % 16 == 0
+
+
+# ---------------------------------------------------------------------------
+# Legacy transpose-free entry for (B, N, H, D) inputs.
 # ---------------------------------------------------------------------------
 
 def _attn_kernel_bnhd(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -272,23 +389,66 @@ _attention_fused_bnhd.defvjp(_attention_fused_bnhd_fwd,
                              _attention_fused_bnhd_bwd)
 
 
+def _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim):
+    """XLA twin of the packed kernel ((B, N, H*D), scale pre-folded into q)."""
+    b, n, hd = q3.shape
+    m = k3.shape[1]
+    h = hd // head_dim
+    out = _attention_xla(
+        q3.reshape(b, n, h, head_dim).transpose(0, 2, 1, 3),
+        k3.reshape(b, m, h, head_dim).transpose(0, 2, 1, 3),
+        v3.reshape(b, m, h, head_dim).transpose(0, 2, 1, 3),
+        1.0, mask_mode, cond_len)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_fused_packed(q3, k3, v3, mask_mode, cond_len, head_dim):
+    return _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim)
+
+
+def _attention_fused_packed_fwd(q3, k3, v3, mask_mode, cond_len, head_dim):
+    o = _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim)
+    return o, (q3, k3, v3)
+
+
+def _attention_fused_packed_bwd(mask_mode, cond_len, head_dim, res, g):
+    q3, k3, v3 = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_xla_packed(q_, k_, v_, mask_mode,
+                                                 cond_len, head_dim),
+        q3, k3, v3)
+    return vjp(g)
+
+
+_attention_fused_packed.defvjp(_attention_fused_packed_fwd,
+                               _attention_fused_packed_bwd)
+
+
 def multihead_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                              scale: Optional[float] = None,
                              mask_mode: str = "none", cond_len: int = 0,
                              impl: str | None = "auto") -> jax.Array:
     """Attention over (batch, seq, heads, head_dim) input layout.
 
-    NOTE: a truly transpose-free Pallas kernel for this layout is blocked by
-    Mosaic tiling rules — (H, D) land on the sublane/lane dims and a single
-    head is an unaligned sublane slice ("index in dimension 2 must be a
-    multiple of 8"). The kernel in _attention_pallas_bnhd works only in
-    interpreter mode; on hardware this routes through the (B,H,N,D) fused
-    kernel with XLA-materialized transposes (~1ms/layer at ViT-base/b64 —
-    measured to be the cheaper trade).
+    On TPU with D in {64, 128} this dispatches to the packed head-pair
+    kernel, consuming the (B, N, H*D) projection layout directly — zero
+    layout transposes. The softmax scale is folded into q here (an O(N*HD)
+    elementwise op XLA fuses into the projection); its gradient flows
+    through this scaling outside the custom_vjp. Other shapes fall back to
+    the (B,H,N,D) fused kernel with XLA transposes, then pure XLA.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if use_pallas(impl) and q.shape[1] >= 8:
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    if use_pallas(impl) and n >= 8:
+        if _packed_supported(h, d, n, m):
+            q3 = (q * jnp.asarray(scale, q.dtype)).reshape(b, n, h * d)
+            out = _attention_fused_packed(q3, k.reshape(b, m, h * d),
+                                          v.reshape(b, m, h * d),
+                                          mask_mode, int(cond_len), d)
+            return out.reshape(b, n, h, d)
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)

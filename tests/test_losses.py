@@ -198,3 +198,79 @@ def test_r1_penalty(vq_disc_loss, rng):
     assert "train/r1_reg" in log
     assert float(log["train/r1_reg"]) > 0
     assert float(d_r1) > float(d_plain)
+
+
+def test_lpips_loader_golden_vs_torch(tmp_path, rng):
+    """Synthesize a checkpoint with the EXACT torchvision/lpips key layout
+    (features.{0,2,5,...}.weight + lin{i}.model.1.weight), load it through
+    load_torch_lpips, and demand the flax LPIPS value match a torch clone of
+    the lpips-package forward (unit-normalize -> sq diff -> 1x1 lin ->
+    spatial mean -> sum over 5 stages)."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+    from enhancing_tpu.losses.lpips import _SCALE, _SHIFT, init_lpips
+
+    torch.manual_seed(0)
+    # torchvision vgg16.features layout: convs at 0,2,5,7,10,12,14,17,19,21,
+    # 24,26,28 with ReLU after each and MaxPool at 4,9,16,23,30
+    plan = [(3, 64), (64, 64), "M", (64, 128), (128, 128), "M",
+            (128, 256), (256, 256), (256, 256), "M",
+            (256, 512), (512, 512), (512, 512), "M",
+            (512, 512), (512, 512), (512, 512), "M"]
+    layers = []
+    for p in plan:
+        if p == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(p[0], p[1], 3, padding=1))
+            layers.append(tnn.ReLU())
+    features = tnn.Sequential(*layers).eval()
+    # scale weights down so deep activations stay well-conditioned
+    with torch.no_grad():
+        for m in features:
+            if isinstance(m, tnn.Conv2d):
+                m.weight.mul_(0.05)
+                m.bias.mul_(0.05)
+    lins = [torch.rand(1, c, 1, 1) * 0.1 for c in (64, 128, 256, 512, 512)]
+
+    sd = {f"features.{i}.{p}": t.detach().clone()
+          for i, m in enumerate(features) if isinstance(m, tnn.Conv2d)
+          for p, t in (("weight", m.weight), ("bias", m.bias))}
+    sd.update({f"lin{i}.model.1.weight": w for i, w in enumerate(lins)})
+    path = tmp_path / "lpips.pth"
+    torch.save(sd, path)
+
+    def torch_lpips(x, y):  # NCHW in [-1, 1]
+        shift = torch.tensor(_SHIFT).view(1, 3, 1, 1)
+        scale = torch.tensor(_SCALE).view(1, 3, 1, 1)
+        stage_idx = [3, 8, 15, 22, 29]
+
+        def stages(t):
+            outs = []
+            for i, m in enumerate(features):
+                t = m(t)
+                if i in stage_idx:
+                    outs.append(t)
+            return outs
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(stages((x - shift) / scale),
+                                       stages((y - shift) / scale))):
+            a = a / (a.norm(dim=1, keepdim=True) + 1e-10)
+            b = b / (b.norm(dim=1, keepdim=True) + 1e-10)
+            val = tF.conv2d((a - b) ** 2, lins[i])
+            total = total + val.mean(dim=(1, 2, 3))
+        return total
+
+    x = (rng.random((2, 64, 64, 3)).astype(np.float32) - 0.5) * 2
+    y = (rng.random((2, 64, 64, 3)).astype(np.float32) - 0.5) * 2
+    with torch.no_grad():
+        ref = torch_lpips(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          torch.from_numpy(y.transpose(0, 3, 1, 2)))
+
+    module, params = init_lpips(jax.random.PRNGKey(0), image_size=64,
+                                weights_path=str(path))
+    ours = module.apply({"params": params}, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-6)
