@@ -30,7 +30,9 @@ def main() -> None:
     import jax.numpy as jnp
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch sweep on v5e (r2): 32 -> 298.3, 64 -> 297.8, 96 -> 303.1,
+    # 128 -> 305.5 img/s; 128 is the throughput-optimal point
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 

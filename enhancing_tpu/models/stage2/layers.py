@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.attention import multihead_attention
+from ...ops.attention import multihead_attention, multihead_attention_bnhd
 
 normal_init = nn.initializers.normal(stddev=0.02)
 
@@ -80,15 +80,18 @@ class MultiHeadSelfAttention(nn.Module):
         return split(self.query_p(x)), split(self.key_p(x)), split(self.value_p(x))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """Full-sequence forward (training)."""
+        """Full-sequence forward (training). Uses the (B, N, H, D)-layout
+        entry so the packed Pallas kernel consumes the projection output
+        directly — no (B,H,N,D) transposes in the training graph."""
         b, t, c = x.shape
         x = self._token_shift(x)
-        q, k, v = self._qkv(x)
+        q = self.query_p(x).reshape(b, t, self.n_heads, self.head_dim)
+        k = self.key_p(x).reshape(b, t, self.n_heads, self.head_dim)
+        v = self.value_p(x).reshape(b, t, self.n_heads, self.head_dim)
         mode = "prefix_causal" if self.use_mask else "none"
-        y = multihead_attention(q, k, v, scale=self.head_dim**-0.5,
-                                mask_mode=mode, cond_len=self.cond_len)
-        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return self.proj(y)
+        y = multihead_attention_bnhd(q, k, v, scale=self.head_dim**-0.5,
+                                     mask_mode=mode, cond_len=self.cond_len)
+        return self.proj(y.reshape(b, t, c))
 
     def decode(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                cur_len: jax.Array, shift_prev: jax.Array

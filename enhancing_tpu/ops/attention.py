@@ -287,9 +287,9 @@ def _packed_supported(n_heads: int, head_dim: int, n: int, m: int) -> bool:
         return False
     if (n_heads * head_dim) % LANES:
         return False
-    # bf16 sublane tile is 16: keep full kv tiles; q blocks may be partial
-    # only in the last grid step, which Mosaic pads.
-    return n >= 16 and m >= 16 and m % 16 == 0
+    # Unaligned n/m produce partial tiles that Mosaic masks to logical
+    # bounds (verified on hardware vs XLA for N=M=1025, both mask modes).
+    return n >= 16 and m >= 16
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +389,142 @@ _attention_fused_bnhd.defvjp(_attention_fused_bnhd_fwd,
                              _attention_fused_bnhd_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed flash-style backward: dq/dk/dv without ever materialising the
+# (B, H, N, N) probability matrix in HBM (the XLA VJP writes P *and* dP
+# there — ~6.4GB per ViT-base layer at batch 64). Scores/softmax are
+# recomputed per tile; dk/dv accumulate in fp32 VMEM scratch across
+# q-blocks (grid's fastest axis) and spill once.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     dk_acc, dv_acc, *, mask_mode: str, cond_len: int,
+                     block_q: int, heads_per_slab: int, head_dim: int):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    q = q_ref[0]                                # (bq, 128) bf16, pre-scaled
+    k = k_ref[0]                                # (M, 128)
+    v = v_ref[0]
+    do = do_ref[0]                              # (bq, 128)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def probs(qh):
+        s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if mask_mode == "prefix_causal":
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + j * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+            s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))   # (bq, M) f32
+
+    def one_head(qh, doh):
+        """qh: q with other-head lanes zeroed; doh: dO likewise.
+        Returns (dq_full, dk_full, dv_full) as (rows, 128) with the other
+        head's lanes garbage where noted (caller masks)."""
+        p = probs(qh)
+        dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)                 # (bq, M) bf16
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dq, dk, dv
+
+    if heads_per_slab == 1:
+        dq, dk, dv = one_head(q, do)
+    else:
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        sel_q = lane_q < head_dim
+        qa = jnp.where(sel_q, q, jnp.zeros_like(q))
+        qb = q - qa
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, do.shape, 1)
+        sel_o = lane_o < head_dim
+        doa = jnp.where(sel_o, do, jnp.zeros_like(do))
+        dob = do - doa
+        dqa, dka, dva = one_head(qa, doa)
+        dqb, dkb, dvb = one_head(qb, dob)
+        lane_dq = jax.lax.broadcasted_iota(jnp.int32, dqa.shape, 1)
+        dq = jnp.where(lane_dq < head_dim, dqa, dqb)
+        # dk contributions are already lane-clean (qa/qb carry the zeroing);
+        # dv needs the select (p^T do spans both heads' lanes)
+        dk = dka + dkb
+        lane_kv = jax.lax.broadcasted_iota(jnp.int32, dva.shape, 1)
+        dv = jnp.where(lane_kv < head_dim, dva, dvb)
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_acc[...] += dk
+    dv_acc[...] += dv
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _attention_packed_bwd_call(q3, k3, v3, do3, mask_mode, cond_len,
+                               head_dim):
+    b, n, hd = q3.shape
+    m = k3.shape[1]
+    heads_per_slab = LANES // head_dim
+    slabs = hd // LANES
+    # backward holds ~3 fp32 (bq, M) tiles per head live
+    block_q = _packed_block_q(n, m, heads_per_slab * 2)
+    grid = (b, slabs, cdiv(n, block_q))
+    n_heads = hd // head_dim
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, mask_mode=mask_mode,
+                          cond_len=cond_len, block_q=block_q,
+                          heads_per_slab=heads_per_slab, head_dim=head_dim),
+        out_shape=[jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
+                   jax.ShapeDtypeStruct((b, m, hd), k3.dtype),
+                   jax.ShapeDtypeStruct((b, m, hd), v3.dtype)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((m, LANES), jnp.float32),
+                        pltpu.VMEM((m, LANES), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * m * hd * (2 if heads_per_slab == 2 else 1),
+            bytes_accessed=3 * (q3.size + k3.size + v3.size)
+            * q3.dtype.itemsize,
+            transcendentals=b * n_heads * n * m,
+        ),
+        interpret=interpret_mode(),
+    )(q3, k3, v3, do3)
+    return dq, dk, dv
+
+
 def _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim):
     """XLA twin of the packed kernel ((B, N, H*D), scale pre-folded into q)."""
     b, n, hd = q3.shape
@@ -414,11 +550,8 @@ def _attention_fused_packed_fwd(q3, k3, v3, mask_mode, cond_len, head_dim):
 
 def _attention_fused_packed_bwd(mask_mode, cond_len, head_dim, res, g):
     q3, k3, v3 = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _attention_xla_packed(q_, k_, v_, mask_mode,
-                                                 cond_len, head_dim),
-        q3, k3, v3)
-    return vjp(g)
+    return _attention_packed_bwd_call(q3, k3, v3, g.astype(q3.dtype),
+                                      mask_mode, cond_len, head_dim)
 
 
 _attention_fused_packed.defvjp(_attention_fused_packed_fwd,

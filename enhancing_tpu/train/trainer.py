@@ -258,8 +258,16 @@ class Trainer:
             return
         if (epoch + 1) % self.checkpoint_every_epochs:
             return
-        self._ckpt_mgr.save(
-            epoch, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)))
+        if jax.process_count() > 1:
+            # multi-host: save the GLOBAL jax arrays directly — orbax
+            # coordinates the collective write across hosts (host-local /
+            # numpy copies are not serializable there)
+            payload = state
+        else:
+            # single-host: host numpy copies (cheap, avoids holding device
+            # buffers through the async save on relay-backed devices)
+            payload = jax.tree.map(np.asarray, state)
+        self._ckpt_mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self._ckpt_mgr.wait_until_finished()
 
     def restore(self, state, step: Optional[int] = None):

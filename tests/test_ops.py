@@ -141,3 +141,62 @@ def test_fused_ffn_matches_xla(rng):
         ffn._ffn_xla(x, w1, b1, w2, b2, "tanh") ** 2))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3,
                                rtol=1e-3)
+
+
+@pytest.mark.parametrize("shape,mode,cl", [
+    ((2, 64, 4, 64), "none", 0),
+    ((2, 48, 2, 128), "none", 0),
+    ((1, 33, 4, 64), "prefix_causal", 3),
+])
+def test_attention_packed_matches_xla(rng, shape, mode, cl):
+    """Packed head-pair kernel ((B,N,H*D) lane slabs) forward parity."""
+    b, n, h, d = shape
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h * d)), jnp.float32)
+               for _ in range(3))
+    q = q * d ** -0.5
+    out = att._attention_packed_call(q, k, v, mode, cl, d)
+    ref = att._attention_xla_packed(q, k, v, mode, cl, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("shape,mode,cl", [
+    ((2, 64, 4, 64), "none", 0),
+    ((2, 48, 2, 128), "none", 0),
+    ((1, 33, 4, 64), "prefix_causal", 3),
+    ((2, 65, 2, 64), "prefix_causal", 1),
+])
+def test_attention_packed_backward_matches_xla_vjp(rng, shape, mode, cl):
+    """Flash-style Pallas dq/dk/dv vs the XLA VJP (VERDICT r1 item #4)."""
+    b, n, h, d = shape
+    q, k, v, g = (jnp.asarray(rng.standard_normal((b, n, h * d)), jnp.float32)
+                  * 0.2 for _ in range(4))
+    dq, dk, dv = att._attention_packed_bwd_call(q, k, v, g, mode, cl, d)
+    _, vjp = jax.vjp(lambda a, b_, c: att._attention_xla_packed(
+        a, b_, c, mode, cl, d), q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    for name, a, r in (("dq", dq, dq_r), ("dk", dk, dk_r), ("dv", dv, dv_r)):
+        rel = (float(jnp.abs(a - r).max())
+               / (float(jnp.abs(r).max()) + 1e-12))
+        assert rel < 5e-4, (name, rel)
+
+
+def test_attention_packed_dispatch(rng):
+    """multihead_attention_bnhd routes D=64 pairs through the packed kernel
+    and keeps gradient parity with the XLA path (scale folded into q)."""
+    b, n, h, d = 2, 32, 2, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+               for _ in range(3))
+
+    def loss(fn_impl):
+        def f(q_):
+            return jnp.sum(att.multihead_attention_bnhd(
+                q_, k, v, impl=fn_impl) ** 2)
+        return f
+
+    out_p = att.multihead_attention_bnhd(q, k, v, impl="pallas")
+    out_x = att.multihead_attention_bnhd(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5)
+    g_p = jax.grad(loss("pallas"))(q)
+    g_x = jax.grad(loss("xla"))(q)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-4)

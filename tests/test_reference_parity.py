@@ -239,3 +239,153 @@ def test_stage2_gpt_sample_step_matches_reference(ref_stage2, rng):
                                    ref_logits.numpy(), atol=2e-4, rtol=1e-3)
     finally:
         os.unlink(path)
+
+
+def _synth_disc_state_dict(params: dict, size: int, rng) -> dict:
+    """Reference-layout loss.discriminator.* keys (losses/layers.py:214-377
+    Sequential indices) synthesized from our StyleDiscriminator shapes via
+    the inverse weight transforms."""
+    import math
+
+    sd = {}
+
+    def conv_inv(p):  # (k,k,in,out) -> (out,in,k,k)
+        return rng.standard_normal(
+            (p.shape[3], p.shape[2], p.shape[0], p.shape[1])).astype(
+                np.float32) * 0.05
+
+    def randlike(p):
+        return rng.standard_normal(np.shape(p)).astype(np.float32) * 0.05
+
+    pre = "loss.discriminator."
+    sd[pre + "blocks.0.0.weight"] = conv_inv(params["stem"]["conv"]["weight"])
+    sd[pre + "blocks.0.1.bias"] = randlike(params["stem"]["act_bias"])
+    log_size = int(math.log2(size))
+    for j in range(1, log_size - 1):
+        res = log_size - (j - 1)
+        blk = params[f"block_{res}"]
+        sd[pre + f"blocks.{j}.conv1.0.weight"] = conv_inv(
+            blk["conv1"]["conv"]["weight"])
+        sd[pre + f"blocks.{j}.conv1.1.bias"] = randlike(
+            blk["conv1"]["act_bias"])
+        sd[pre + f"blocks.{j}.conv2.1.weight"] = conv_inv(
+            blk["conv2"]["conv"]["weight"])
+        sd[pre + f"blocks.{j}.conv2.2.bias"] = randlike(
+            blk["conv2"]["act_bias"])
+        sd[pre + f"blocks.{j}.skip.1.weight"] = conv_inv(
+            blk["skip"]["conv"]["weight"])
+    sd[pre + "final_conv.0.weight"] = conv_inv(
+        params["final_conv"]["conv"]["weight"])
+    sd[pre + "final_conv.1.bias"] = randlike(params["final_conv"]["act_bias"])
+    for i, name in [(0, "final_linear1"), (1, "final_linear2")]:
+        w = params[name]["weight"]
+        sd[pre + f"final_linear.{i}.weight"] = rng.standard_normal(
+            (w.shape[1], w.shape[0])).astype(np.float32) * 0.05
+        sd[pre + f"final_linear.{i}.bias"] = randlike(params[name]["bias"])
+    return sd
+
+
+def _full_lightning_ckpt(layers_mod, quant_mod, tmp_path, rng, *, image_size,
+                         patch_size, enc, embed_dim, n_embed):
+    """A complete reference Lightning checkpoint: model keys straight from
+    the real reference modules, plus loss.discriminator.* (GAN resume) and
+    loss.perceptual.* decoys (must be skipped silently)."""
+    class Ref(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = layers_mod.ViTEncoder(
+                image_size=image_size, patch_size=patch_size, **enc)
+            self.decoder = layers_mod.ViTDecoder(
+                image_size=image_size, patch_size=patch_size, **enc)
+            self.quantizer = quant_mod.VectorQuantizer(
+                embed_dim=embed_dim, n_embed=n_embed)
+            self.pre_quant = torch.nn.Linear(enc["dim"], embed_dim)
+            self.post_quant = torch.nn.Linear(embed_dim, enc["dim"])
+
+    torch.manual_seed(7)
+    sd = {k: v for k, v in Ref().state_dict().items()}
+
+    from enhancing_tpu.losses import StyleDiscriminator
+    disc = StyleDiscriminator(size=image_size)
+    disc_params = disc.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, image_size, image_size, 3)))["params"]
+    sd.update({k: torch.from_numpy(v) for k, v in
+               _synth_disc_state_dict(disc_params, image_size, rng).items()})
+    sd["loss.perceptual.net.slice1.0.weight"] = torch.zeros(64, 3, 3, 3)
+    sd["loss.perceptual.lin0.model.1.weight"] = torch.zeros(1, 64, 1, 1)
+
+    path = tmp_path / "lightning_full.ckpt"
+    torch.save({"state_dict": sd}, path)
+    return path, sd
+
+
+def test_full_lightning_ckpt_loads_clean_at_base_architecture(
+        ref_stage1, ref_quant, tmp_path, rng, capsys):
+    """Full base ARCHITECTURE (12-layer encoder+decoder, 256px StyleGAN-D,
+    8192-code VQ): every model + discriminator key maps with ZERO unmapped
+    warnings; loss.perceptual.* decoys are skipped silently. (Width is
+    reduced 768->192 to keep the checkpoint file small; the key set and
+    depth/resolution structure are exactly the released layout.)"""
+    enc = dict(dim=192, depth=12, heads=12, mlp_dim=768)
+    path, sd = _full_lightning_ckpt(
+        ref_stage1, ref_quant, tmp_path, rng, image_size=256, patch_size=8,
+        enc=enc, embed_dim=32, n_embed=8192)
+
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    model = ViTVQ(
+        image_size=256, patch_size=8, encoder=enc, decoder=enc,
+        quantizer=dict(embed_dim=32, n_embed=8192), path=str(path),
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 256, "perceptual_weight": 0.0,
+                         "adversarial_weight": 0.1}})
+    out = capsys.readouterr().out
+    assert "unmapped keys" not in out, out
+    assert "Restored from" in out
+    # spot-check: encoder layer 11 qkv and the disc stem actually landed
+    np.testing.assert_allclose(
+        model.params["encoder"]["transformer"]["layers_11"]["attn"]["to_qkv"]
+        ["kernel"],
+        sd["encoder.transformer.layers.11.0.fn.to_qkv.weight"].numpy().T)
+    np.testing.assert_allclose(
+        model.loss.disc_init_params["stem"]["conv"]["weight"],
+        sd["loss.discriminator.blocks.0.0.weight"].numpy().transpose(
+            2, 3, 1, 0))
+
+
+def test_gan_resume_trains_from_lightning_ckpt(ref_stage1, ref_quant,
+                                               tmp_path, rng):
+    """Resume GAN training from a full Lightning checkpoint: model AND
+    discriminator weights load, then 2 fused GAN steps (incl. R1) run to
+    finite losses (VERDICT r1 item #10)."""
+    enc = dict(dim=64, depth=2, heads=2, mlp_dim=128)
+    path, _ = _full_lightning_ckpt(
+        ref_stage1, ref_quant, tmp_path, rng, image_size=32, patch_size=8,
+        enc=enc, embed_dim=16, n_embed=64)
+
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    from enhancing_tpu.train import Trainer
+    from enhancing_tpu.utils.config import initialize_from_config
+    model = ViTVQ(
+        image_size=32, patch_size=8, encoder=enc, decoder=enc,
+        quantizer=dict(embed_dim=16, n_embed=64), path=str(path),
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 32, "perceptual_weight": 0.0,
+                         "adversarial_weight": 0.1, "do_r1_every": 2}})
+    disc_before = jax.tree.leaves(model.loss.disc_init_params)[0].copy()
+
+    data = initialize_from_config({
+        "target": "enhancing_tpu.data.DataModuleFromConfig",
+        "params": {"batch_size": 8, "num_workers": 2,
+                   "train": {"target": "enhancing_tpu.data.fake.FakeImages",
+                             "params": {"length": 16, "resolution": 32}}}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000, max_steps=2)
+    trainer.fit(model, data)
+    state = trainer.final_state
+    for leaf in jax.tree.leaves((state.ae_params, state.disc_params)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # the resumed discriminator actually trained from the loaded weights
+    assert not np.array_equal(
+        disc_before, np.asarray(jax.tree.leaves(state.disc_params)[0]))
