@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.attention import multihead_attention, multihead_attention_bnhd
+from ...ops.attention import decode_attention, multihead_attention_bnhd
 
 normal_init = nn.initializers.normal(stddev=0.02)
 
@@ -73,12 +73,6 @@ class MultiHeadSelfAttention(nn.Module):
             shifted = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
         return x * tm + shifted * (1.0 - tm)
 
-    def _qkv(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        b, t, _ = x.shape
-        def split(h):
-            return h.reshape(b, t, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
-        return split(self.query_p(x)), split(self.key_p(x)), split(self.value_p(x))
-
     def __call__(self, x: jax.Array) -> jax.Array:
         """Full-sequence forward (training). Uses the (B, N, H, D)-layout
         entry so the packed Pallas kernel consumes the projection output
@@ -105,50 +99,47 @@ class MultiHeadSelfAttention(nn.Module):
         copy the entire multi-hundred-MB KV stack through the scan's ys,
         doubling the already bandwidth-bound decode traffic.
 
+        On TPU this dispatches to the prefix-aware Pallas decode kernel
+        (ops/attention.decode_attention): cache chunks past ``cur_len`` are
+        neither DMA'd from HBM nor computed.
+
         Args:
           x: (B, 1, C) current-token activations (already LN'd).
-          k_cache / v_cache: (B, H, ctx_len, hd), positions < cur_len valid.
+          k_cache / v_cache: (B, ctx_len, C) packed head layout, rows
+            < cur_len valid.
           cur_len: number of valid cache positions before this token.
           shift_prev: (B, C) previous token's LN'd activation for token-shift.
-        Returns: (attn_out (B,1,C), k_new (B,H,1,hd), v_new (B,H,1,hd))
+        Returns: (attn_out (B,1,C), k_new (B,1,C), v_new (B,1,C))
         """
-        b = x.shape[0]
         x = self._token_shift(x, prev=shift_prev)
-        q, k_new, v_new = self._qkv(x)               # (B, H, 1, hd)
-        qf = q.astype(jnp.float32)
-
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf,
-                       k_cache.astype(jnp.float32)) * self.head_dim**-0.5
-        pos = jnp.arange(k_cache.shape[2])
-        s = jnp.where(pos[None, None, None, :] < cur_len, s, -1e30)
-        s_self = jnp.sum(qf * k_new.astype(jnp.float32), axis=-1,
-                         keepdims=True) * self.head_dim**-0.5  # (B,H,1)
-        m = jnp.maximum(jnp.max(s, axis=-1), s_self[..., 0])[..., None]
-        e = jnp.exp(s - m)
-        e_self = jnp.exp(s_self[..., 0] - m[..., 0])           # (B,H,1)
-        denom = jnp.sum(e, axis=-1) + e_self                    # (B,H,1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v_cache.dtype), v_cache)
-        y = (y + e_self[..., None].astype(v_new.dtype) * v_new) \
-            / denom[..., None].astype(v_new.dtype)
-        y = y.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
-        return self.proj(y), k_new, v_new
+        q = self.query_p(x)                           # (B, 1, C)
+        k_new = self.key_p(x)
+        v_new = self.value_p(x)
+        scale = jnp.asarray(self.head_dim**-0.5, q.dtype)
+        y = decode_attention(q[:, 0] * scale, k_cache, v_cache,
+                             k_new[:, 0].astype(k_cache.dtype),
+                             v_new[:, 0].astype(v_cache.dtype), cur_len,
+                             head_dim=self.head_dim)
+        return self.proj(y[:, None, :].astype(x.dtype)), k_new, v_new
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Multi-token prefix forward filling cache positions [0, T)."""
         b, t, c = x.shape
         x = self._token_shift(x)
-        q, k, v = self._qkv(x)
+        q = self.query_p(x)
+        k = self.key_p(x)
+        v = self.value_p(x)
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0))
+            k_cache, k.astype(k_cache.dtype), (0, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0))
+            v_cache, v.astype(v_cache.dtype), (0, 0, 0))
         mode = "prefix_causal" if self.use_mask else "none"
-        y = multihead_attention(q, k, v, scale=self.head_dim**-0.5,
-                                mask_mode=mode, cond_len=self.cond_len,
-                                impl="xla")
-        y = y.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return self.proj(y), k_cache, v_cache
+        split = (b, t, self.n_heads, self.head_dim)
+        y = multihead_attention_bnhd(
+            q.reshape(split), k.reshape(split), v.reshape(split),
+            scale=self.head_dim**-0.5, mask_mode=mode, cond_len=self.cond_len)
+        return self.proj(y.reshape(b, t, c)), k_cache, v_cache
 
 
 class FFN(nn.Module):
@@ -308,8 +299,9 @@ class GPT(nn.Module):
 
     def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
         dtype = dtype or self.dtype
-        hd = self.embed_dim // self.n_heads
-        shape = (self.n_layers, batch, self.n_heads, self.ctx_len, hd)
+        # packed head layout: (L, B, ctx, H*hd) — contiguous 128-lane slabs
+        # for the Pallas decode kernel, contiguous one-row cache writes
+        shape = (self.n_layers, batch, self.ctx_len, self.embed_dim)
         return {
             "k": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype),
@@ -337,8 +329,8 @@ class GPT(nn.Module):
         cutting HBM traffic early in the decode when the cache is mostly
         empty. None reads the full buffer."""
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
-        k_view = k_all[:, :, :, :window] if window else k_all
-        v_view = v_all[:, :, :, :window] if window else v_all
+        k_view = k_all[:, :, :window] if window else k_all
+        v_view = v_all[:, :, :window] if window else v_all
         if self.scan_layers:
             (x, _), (k_news, v_news, s_new) = self.blocks_stack.scan_decode(
                 (x, cur_len), (k_view, v_view, s_all))
@@ -354,11 +346,11 @@ class GPT(nn.Module):
             k_news = jnp.stack(k_cols)
             v_news = jnp.stack(v_cols)
             s_all = jnp.stack(s_cols).astype(s_all.dtype)
-        # single in-place column write per stack (L, B, H, ctx, hd)
+        # single in-place row write per stack (L, B, ctx, C)
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k_news.astype(k_all.dtype), (0, 0, 0, cur_len, 0))
+            k_all, k_news.astype(k_all.dtype), (0, 0, cur_len, 0))
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v_news.astype(v_all.dtype), (0, 0, 0, cur_len, 0))
+            v_all, v_news.astype(v_all.dtype), (0, 0, cur_len, 0))
         return x, {"k": k_all, "v": v_all, "shift": s_all}
 
     def prefill(self, conds: jax.Array, cache: Dict[str, jax.Array]
@@ -504,9 +496,8 @@ class RQTransformer(nn.Module):
 
     def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
         dtype = dtype or self.dtype
-        hd_s = self.embed_dim // self.spatial_n_heads
-        shape_s = (self.spatial_n_layers, batch, self.spatial_n_heads,
-                   self.ctx_len, hd_s)
+        # packed head layout (see GPT.init_cache)
+        shape_s = (self.spatial_n_layers, batch, self.ctx_len, self.embed_dim)
         return {
             "k": jnp.zeros(shape_s, dtype),
             "v": jnp.zeros(shape_s, dtype),
@@ -556,9 +547,9 @@ class RQTransformer(nn.Module):
             v_news = jnp.stack(v_cols)
             s_all = jnp.stack(s_cols).astype(s_all.dtype)
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k_news.astype(k_all.dtype), (0, 0, 0, cur_len, 0))
+            k_all, k_news.astype(k_all.dtype), (0, 0, cur_len, 0))
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v_news.astype(v_all.dtype), (0, 0, 0, cur_len, 0))
+            v_all, v_news.astype(v_all.dtype), (0, 0, cur_len, 0))
         x = self.ln_spatial(x)
         return x[:, -1], {"k": k_all, "v": v_all, "shift": s_all}
 

@@ -558,6 +558,191 @@ _attention_fused_packed.defvjp(_attention_fused_packed_fwd,
                                _attention_fused_packed_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Prefix-aware single-token decode attention over a packed KV cache.
+#
+# The autoregressive decode reads a (ctx, H*D) KV cache of which only the
+# first ``cur_len`` rows are valid. An XLA implementation DMAs the WHOLE
+# buffer every token (the mask is applied after the read), so decode HBM
+# traffic is O(ctx) per step regardless of fill. Here the kernel grid walks
+# cache chunks with ``cur_len`` as a scalar-prefetch operand: the k/v
+# BlockSpec index maps clamp chunk indices past the filled prefix to the
+# last valid chunk, so consecutive grid steps map to the same block and
+# Pallas elides the DMA — traffic scales with cur_len, not ctx. Compute for
+# the skipped chunks is gated out with pl.when.
+#
+# The current token's k/v column is NOT in the cache (the sampling loop
+# keeps the cache read-only inside the layer scan; see
+# models/stage2/layers.py decode); it arrives as a separate (B, HD) input
+# folded into the online softmax at the flush step.
+# ---------------------------------------------------------------------------
+
+
+def _decode_xla(q3, kc, vc, kn, vn, cur_len, head_dim):
+    """Reference path. q3/kn/vn: (B, HD) — q3 pre-scaled; kc/vc: (B, M, HD)."""
+    b, m, hd = kc.shape
+    h = hd // head_dim
+    qh = q3.reshape(b, h, 1, head_dim).astype(jnp.float32)
+    kh = kc.reshape(b, m, h, head_dim).transpose(0, 2, 1, 3).astype(jnp.float32)
+    vh = vc.reshape(b, m, h, head_dim).transpose(0, 2, 1, 3)
+    knh = kn.reshape(b, h, 1, head_dim).astype(jnp.float32)
+    vnh = vn.reshape(b, h, 1, head_dim)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+    pos = jnp.arange(m)
+    s = jnp.where(pos[None, None, None, :] < cur_len, s, NEG_INF)
+    s_self = jnp.sum(qh * knh, axis=-1, keepdims=True)          # (B,H,1,1)
+    mx = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
+    e = jnp.exp(s - mx)
+    e_self = jnp.exp(s_self - mx)
+    denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+    y = jnp.einsum("bhqk,bhkd->bhqd", e.astype(vh.dtype), vh)
+    y = (y + e_self.astype(vh.dtype) * vnh) / denom.astype(vh.dtype)
+    return y.transpose(0, 2, 1, 3).reshape(b, hd).astype(q3.dtype)
+
+
+def _decode_kernel(cur_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
+                   m_acc, l_acc, o_acc, *, block_k: int, head_dim: int,
+                   n_heads: int):
+    """Grid (B, chunks): each program owns one (block_k, H*D) cache tile for
+    one batch row. Heads are handled in ONE matmul per chunk by scoring with
+    a block-diagonal masked-q matrix: row h of (H, HD) keeps only head h's
+    lanes of q, so (H, HD) @ (HD, block_k) contracts to the (H, block_k)
+    per-head score matrix (the zeroed lanes contribute nothing). Online
+    softmax runs vectorized over the H sublane rows; at the flush the
+    (H, HD) per-head outputs collapse to (1, HD) through the same mask."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    cur_len = cur_ref[0]
+    q = q_ref[0].astype(jnp.float32)              # (1, HD), pre-scaled
+    hd_total = q.shape[-1]
+    lane_head = jax.lax.broadcasted_iota(
+        jnp.int32, (n_heads, hd_total), 1) // head_dim
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_heads, hd_total), 0)
+    head_mask = (lane_head == row).astype(jnp.float32)       # (H, HD)
+    qm = q * head_mask                                        # (H, HD)
+
+    @pl.when(j == 0)
+    def _init():
+        m_acc[...] = jnp.full_like(m_acc, NEG_INF)
+        l_acc[...] = jnp.zeros_like(l_acc)
+        o_acc[...] = jnp.zeros_like(o_acc)
+
+    @pl.when(j * block_k < cur_len)
+    def _chunk():
+        k = k_ref[0]                              # (block_k, HD)
+        v = v_ref[0]
+        # Mosaic's default-precision f32 dot runs single-pass bf16 on the
+        # MXU (~1e-2 rel. error); force exact passes for f32 inputs. The
+        # production bf16 cache path is unaffected.
+        prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
+                else None)
+        s = jax.lax.dot_general(qm.astype(k.dtype), k,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(pos < cur_len, s, NEG_INF)  # (H, block_k)
+        m_old = m_acc[...]                        # (H, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        e = jnp.exp(s - m_new)
+        m_acc[...] = m_new
+        l_acc[...] = l_acc[...] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        contrib = jax.lax.dot_general(e.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+        o_acc[...] = o_acc[...] * alpha + contrib  # (H, HD)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        kn = kn_ref[0].astype(jnp.float32)        # (1, HD)
+        vn = vn_ref[0].astype(jnp.float32)
+        s_self = jnp.sum(qm * kn, axis=-1, keepdims=True)    # (H, 1)
+        m_fin = jnp.maximum(m_acc[...], s_self)
+        alpha = jnp.exp(m_acc[...] - m_fin)
+        e_self = jnp.exp(s_self - m_fin)
+        l_fin = l_acc[...] * alpha + e_self
+        o = (o_acc[...] * alpha + e_self * vn) / l_fin       # (H, HD)
+        out = jnp.sum(o * head_mask, axis=0, keepdims=True)  # (1, HD)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256):
+    b, m, hd = kc.shape
+    n_heads = hd // head_dim
+    block_k = min(block_k, m)
+    nj = cdiv(m, block_k)
+    cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
+
+    def kv_index(i, j, cur_ref):
+        # index maps receive (grid indices..., scalar-prefetch refs...);
+        # chunks past the filled prefix clamp to the last valid chunk, so
+        # consecutive grid steps map to the same block and the DMA is elided
+        last_valid = jnp.maximum(cur_ref[0] - 1, 0) // block_k
+        return (i, jnp.minimum(j, last_valid), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1, hd), lambda i, j, cur_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, j, cur_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, j, cur_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), kv_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hd),
+                               lambda i, j, cur_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_heads, 1), jnp.float32),
+            pltpu.VMEM((n_heads, 1), jnp.float32),
+            pltpu.VMEM((n_heads, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, block_k=block_k, head_dim=head_dim,
+                          n_heads=n_heads),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q3.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(cur, q3[:, None, :], kn[:, None, :], vn[:, None, :], kc, vc)
+    return out[:, 0, :]
+
+
+def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     k_new: jax.Array, v_new: jax.Array, cur_len: jax.Array,
+                     *, head_dim: int, impl: str | None = "auto") -> jax.Array:
+    """Single-token cached decode attention, packed (B, H*D) layout.
+
+    Args:
+      q3: (B, H*D) query for the current token, softmax scale pre-folded in.
+      k_cache, v_cache: (B, ctx, H*D); only rows < cur_len are valid.
+      k_new, v_new: (B, H*D) the current token's key/value (not yet in cache).
+      cur_len: int32 scalar — number of valid cache rows.
+      head_dim: per-head feature size.
+
+    Replaces the reference's per-step torch.cat KV concatenation
+    (enhancing/modules/stage2/layers.py:68-88). On TPU with D in {64, 128}
+    and 128-aligned H*D this runs the prefix-aware Pallas kernel; cache
+    chunks past cur_len are neither DMA'd nor computed.
+    """
+    b, m, hd = k_cache.shape
+    n_heads = hd // head_dim
+    if use_pallas(impl) and _packed_supported(n_heads, head_dim, LANES, m) \
+            and m >= 128:
+        return _decode_pallas(q3, k_cache, v_cache, k_new, v_new, cur_len,
+                              head_dim)
+    return _decode_xla(q3, k_cache, v_cache, k_new, v_new, cur_len, head_dim)
+
+
 def multihead_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                              scale: Optional[float] = None,
                              mask_mode: str = "none", cond_len: int = 0,

@@ -73,3 +73,188 @@ def test_lsun_gated_without_lmdb(tmp_path):
     from enhancing_tpu.data.lsun import LSUNTrain
     with pytest.raises(ImportError, match="lmdb"):
         LSUNTrain(root=str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# CLIP port: golden parity against a torch clone with the EXACT OpenAI CLIP
+# state_dict key layout (visual.conv1.weight, transformer.resblocks.N.attn.
+# in_proj_weight, text_projection, ...).
+# ---------------------------------------------------------------------------
+
+
+def _torch_clip_tiny():
+    import collections
+
+    import torch
+
+    width, heads, layers, patch, res = 64, 2, 2, 8, 32
+    ctx, vocab, embed_dim = 16, 100, 32
+
+    class QuickGELU(torch.nn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(1.702 * x)
+
+    class ResBlock(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = torch.nn.LayerNorm(width)
+            self.attn = torch.nn.MultiheadAttention(width, heads)
+            self.ln_2 = torch.nn.LayerNorm(width)
+            self.mlp = torch.nn.Sequential(collections.OrderedDict([
+                ("c_fc", torch.nn.Linear(width, 4 * width)),
+                ("gelu", QuickGELU()),
+                ("c_proj", torch.nn.Linear(4 * width, width))]))
+
+        def forward(self, x, mask=None):
+            a = self.ln_1(x)
+            a, _ = self.attn(a, a, a, need_weights=False, attn_mask=mask)
+            x = x + a
+            return x + self.mlp(self.ln_2(x))
+
+    class Visual(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            scale = width**-0.5
+            self.conv1 = torch.nn.Conv2d(3, width, patch, patch, bias=False)
+            self.class_embedding = torch.nn.Parameter(
+                scale * torch.randn(width))
+            self.positional_embedding = torch.nn.Parameter(
+                scale * torch.randn((res // patch) ** 2 + 1, width))
+            self.ln_pre = torch.nn.LayerNorm(width)
+            self.transformer = torch.nn.Module()
+            self.transformer.resblocks = torch.nn.ModuleList(
+                [ResBlock() for _ in range(layers)])
+            self.ln_post = torch.nn.LayerNorm(width)
+            self.proj = torch.nn.Parameter(
+                scale * torch.randn(width, embed_dim))
+
+        def forward(self, x):  # NCHW
+            x = self.conv1(x)
+            x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+            cls = self.class_embedding.expand(x.shape[0], 1, -1)
+            x = torch.cat([cls, x], dim=1) + self.positional_embedding
+            x = self.ln_pre(x).permute(1, 0, 2)
+            for blk in self.transformer.resblocks:
+                x = blk(x)
+            x = self.ln_post(x.permute(1, 0, 2)[:, 0])
+            return x @ self.proj
+
+    class Clip(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual = Visual()
+            self.token_embedding = torch.nn.Embedding(vocab, width)
+            self.positional_embedding = torch.nn.Parameter(
+                0.01 * torch.randn(ctx, width))
+            self.transformer = torch.nn.Module()
+            self.transformer.resblocks = torch.nn.ModuleList(
+                [ResBlock() for _ in range(layers)])
+            self.ln_final = torch.nn.LayerNorm(width)
+            self.text_projection = torch.nn.Parameter(
+                width**-0.5 * torch.randn(width, embed_dim))
+            self.logit_scale = torch.nn.Parameter(torch.zeros(()))
+
+        def encode_text(self, text):
+            x = self.token_embedding(text) + self.positional_embedding
+            x = x.permute(1, 0, 2)
+            t = text.shape[1]
+            mask = torch.full((t, t), float("-inf")).triu(1)
+            for blk in self.transformer.resblocks:
+                x = blk(x, mask)
+            x = self.ln_final(x.permute(1, 0, 2))
+            return x[torch.arange(x.shape[0]), text.argmax(-1)] \
+                @ self.text_projection
+
+    torch.manual_seed(3)
+    model = Clip().eval()
+    from enhancing_tpu.models.cond.clip import CLIPConfig
+    cfg = CLIPConfig(embed_dim=embed_dim, image_resolution=res,
+                     vision_layers=layers, vision_width=width,
+                     vision_patch_size=patch, context_length=ctx,
+                     vocab_size=vocab, transformer_width=width,
+                     transformer_heads=heads, transformer_layers=layers,
+                     vision_heads_override=heads)
+    return model, cfg
+
+
+def test_clip_vision_parity_with_torch(tmp_path, rng):
+    import torch
+
+    from enhancing_tpu.models.cond.clip import load_torch_clip
+
+    model, cfg = _torch_clip_tiny()
+    path = tmp_path / "clip.pt"
+    torch.save(model.state_dict(), path)
+
+    inferred_cfg, params = load_torch_clip(str(path))
+    # config inference from checkpoint shapes matches (but for the tiny
+    # head-count override, which real CLIP derives as width//64)
+    assert (inferred_cfg.vision_width, inferred_cfg.vision_patch_size,
+            inferred_cfg.image_resolution, inferred_cfg.vocab_size) == \
+        (cfg.vision_width, cfg.vision_patch_size, cfg.image_resolution,
+         cfg.vocab_size)
+
+    from enhancing_tpu.models.cond.clip import CLIPVisionTransformer
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ours = CLIPVisionTransformer(cfg).apply(
+        {"params": params["visual"]}, jnp.asarray(img))
+    with torch.no_grad():
+        ref = model.visual(torch.from_numpy(img).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_clip_text_parity_with_torch(tmp_path, rng):
+    import torch
+
+    from enhancing_tpu.models.cond.clip import (
+        CLIPTextTransformer,
+        load_torch_clip,
+    )
+
+    model, cfg = _torch_clip_tiny()
+    path = tmp_path / "clip.pt"
+    torch.save(model.state_dict(), path)
+    _, params = load_torch_clip(str(path), which="text", cfg=cfg)
+
+    toks = rng.integers(1, 99, (2, 16)).astype(np.int64)
+    toks[:, -1] = 99  # EOT = max id
+    ours = CLIPTextTransformer(cfg).apply(
+        {"params": params["text"]}, jnp.asarray(toks, jnp.int32))
+    with torch.no_grad():
+        ref = model.encode_text(torch.from_numpy(toks))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_clip_cond_encoders_functional_with_weights(tmp_path, rng):
+    """ClipImageCond / ClipTextCond are gated ONLY on weights: given a torch
+    checkpoint they produce frozen feature conditions."""
+    import torch
+
+    from enhancing_tpu.models.cond.clipcond import ClipImageCond, ClipTextCond
+
+    model, cfg = _torch_clip_tiny()
+    path = tmp_path / "clip.pt"
+    torch.save(model.state_dict(), path)
+
+    # bypass the name->config table with the tiny config via monkey argument
+    from enhancing_tpu.models.cond import clipcond
+    orig = clipcond.CLIP_CONFIGS
+    clipcond.CLIP_CONFIGS = {"tiny": cfg}
+    try:
+        img_cond = ClipImageCond(clip_model="tiny", clip_params_path=str(path))
+        feats = img_cond.encode_codes(rng.random((2, 32, 32, 3),
+                                                 dtype=np.float64).astype(np.float32))
+        assert np.asarray(feats).shape == (2, cfg.embed_dim)
+        assert np.isfinite(np.asarray(feats)).all()
+
+        txt_cond = ClipTextCond(image_size=32, clip_model="tiny",
+                                clip_params_path=str(path))
+        toks = np.zeros((2, 8), np.int32)
+        toks[:, 0] = 5
+        tfeats = txt_cond.encode_codes(toks)
+        assert np.asarray(tfeats).shape == (2, cfg.embed_dim)
+        assert np.isfinite(np.asarray(tfeats)).all()
+    finally:
+        clipcond.CLIP_CONFIGS = orig

@@ -262,3 +262,56 @@ def test_dataloader_multihost_sharding():
     # shards together cover 24 distinct samples (same epoch permutation)
     classes_all = [int(ds[i]["class"]) for i in range(24)]
     assert sorted(seen) == sorted(classes_all)
+
+
+def test_inaturalist_download_extract_pipeline(tmp_path):
+    """download_and_extract verifies MD5 and unpacks a 2021-layout archive;
+    INaturalistTrain(download=True, source=...) runs the whole pipeline
+    (reference: enhancing/dataloader/inatural.py:24-40 tables + extract)."""
+    import hashlib
+    import tarfile
+
+    from PIL import Image
+
+    from enhancing_tpu.data.inatural import (
+        DATASET_MD5,
+        DATASET_URLS,
+        INaturalistTrain,
+        download_and_extract,
+    )
+
+    # reference URL/MD5 tables carried over verbatim
+    assert set(DATASET_MD5) == set(DATASET_URLS)
+    assert DATASET_MD5["2021_train"] == "e0526d53c7f7b2e3167b2b43bb2690ed"
+
+    # build a tiny 2021-layout archive: train/<id super name>/*.jpg
+    src = tmp_path / "src"
+    rng = np.random.default_rng(0)
+    for ci, cat in enumerate(["00001 Animalia Insecta", "00002 Plantae Rosa"]):
+        d = src / "train" / cat
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 255, (48, 48, 3), np.uint8)
+            Image.fromarray(arr).save(d / f"img{i}.jpg")
+    archive = tmp_path / "train.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        tf.add(src / "train", arcname="train")
+    digest = hashlib.md5(archive.read_bytes()).hexdigest()
+
+    # wrong digest must be rejected
+    root_bad = tmp_path / "bad"
+    with pytest.raises(RuntimeError, match="MD5 mismatch"):
+        download_and_extract(root_bad, "2021_train", source=archive,
+                             md5="0" * 32)
+
+    root = tmp_path / "data"
+    ds = INaturalistTrain(str(root), version="2021_train", resolution=32,
+                          download=True, source=str(archive))
+    assert len(ds) == 4
+    assert ds.categories == ["00001 Animalia Insecta", "00002 Plantae Rosa"]
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["class"] == 0
+    # explicit extract with the right digest also passes
+    download_and_extract(tmp_path / "data2", "2021_train", source=archive,
+                         md5=digest)

@@ -200,3 +200,38 @@ def test_attention_packed_dispatch(rng):
     g_p = jax.grad(loss("pallas"))(q)
     g_x = jax.grad(loss("xla"))(q)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-4)
+
+
+@pytest.mark.parametrize("head_dim,hd", [(64, 256), (128, 256)])
+@pytest.mark.parametrize("cur_len", [1, 5, 128, 200, 255])
+def test_decode_attention_pallas_matches_xla(rng, head_dim, hd, cur_len):
+    """Prefix-aware decode kernel == masked-softmax XLA reference, incl.
+    chunk-boundary cur_len values and the folded-in new-token column."""
+    b, m = 2, 256
+    q = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    cl = jnp.int32(cur_len)
+    ref = att._decode_xla(q, kc, vc, kn, vn, cl, head_dim)
+    out = att._decode_pallas(q, kc, vc, kn, vn, cl, head_dim, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_decode_attention_ignores_stale_cache_rows(rng):
+    """Rows >= cur_len must not affect the output (the kernel never reads
+    them; the XLA path masks them)."""
+    b, m, hd, head_dim = 1, 256, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    cl = jnp.int32(100)
+    base = att._decode_pallas(q, kc, vc, kn, vn, cl, head_dim, block_k=64)
+    kc2 = kc.at[:, 100:].set(1e6)
+    vc2 = vc.at[:, 100:].set(-1e6)
+    out = att._decode_pallas(q, kc2, vc2, kn, vn, cl, head_dim, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
