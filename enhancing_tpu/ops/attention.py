@@ -196,43 +196,70 @@ LANES = 128
 
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
                         cond_len: int, block_q: int, heads_per_slab: int,
-                        head_dim: int):
+                        head_dim: int, k_chunk: int = 0):
+    """``k_chunk``: 0 = whole-row softmax over all M keys at once;
+    > 0 = online (flash-style) softmax over M//k_chunk unrolled key chunks,
+    giving Mosaic's scheduler independent MXU/VPU work to overlap (chunk
+    i+1's score matmul can run while chunk i's exp/rescale is on the VPU)."""
     qi = pl.program_id(2)
     q = q_ref[0]                               # (bq, 128) bf16, pre-scaled
-    k = k_ref[0]                               # (M, 128)
-    v = v_ref[0]
+    k_all = k_ref[0]                           # (M, 128)
+    v_all = v_ref[0]
+    m_tot = k_all.shape[0]
 
-    def scores(qh):
+    def scores(qh, k, col0):
         s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if mask_mode == "prefix_causal":
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
                 + qi * block_q
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
             allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
             s = jnp.where(allowed, s, NEG_INF)
         return s
 
-    def softmax_unnorm(s):
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-        return e.astype(v.dtype), r               # (bq, M) bf16, (bq, 1) f32
-
     if heads_per_slab == 1:                       # one D=128 head per slab
-        e, r = softmax_unnorm(scores(q))
-        o = jnp.dot(e, v, preferred_element_type=jnp.float32) * r
+        q_heads = (q,)
     else:                                         # two D=64 heads per slab
         lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
         qa = jnp.where(lane < head_dim, q, jnp.zeros_like(q))
-        qb = q - qa
-        ea, ra = softmax_unnorm(scores(qa))
-        eb, rb = softmax_unnorm(scores(qb))
-        oa = jnp.dot(ea, v, preferred_element_type=jnp.float32)
-        ob = jnp.dot(eb, v, preferred_element_type=jnp.float32)
-        lane_o = jax.lax.broadcasted_iota(jnp.int32, oa.shape, 1)
-        o = jnp.where(lane_o < head_dim, oa * ra, ob * rb)
-    o_ref[0] = o.astype(o_ref.dtype)
+        q_heads = (qa, q - qa)
+
+    outs = []
+    for qh in q_heads:
+        if not k_chunk or k_chunk >= m_tot:
+            s = scores(qh, k_all, 0)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(v_all.dtype), v_all,
+                        preferred_element_type=jnp.float32) * r
+        else:
+            mx = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+            l = jnp.zeros((block_q, 1), jnp.float32)
+            o = jnp.zeros((block_q, LANES), jnp.float32)
+            for c in range(cdiv(m_tot, k_chunk)):
+                kc = k_all[c * k_chunk:(c + 1) * k_chunk]
+                vc = v_all[c * k_chunk:(c + 1) * k_chunk]
+                s = scores(qh, kc, c * k_chunk)
+                m_new = jnp.maximum(mx, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(mx - m_new)
+                e = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(e.astype(vc.dtype), vc,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                o = o * alpha + pv
+                mx = m_new
+            o = o / l
+        outs.append(o)
+
+    if heads_per_slab == 1:
+        out = outs[0]
+    else:
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, outs[0].shape, 1)
+        out = jnp.where(lane_o < head_dim, outs[0], outs[1])
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _packed_block_q(n: int, m: int, heads_per_slab: int) -> int:
@@ -245,9 +272,11 @@ def _packed_block_q(n: int, m: int, heads_per_slab: int) -> int:
     return min(block_q, n)
 
 
-def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim):
+def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
+                           k_chunk: int | None = None):
     """q3, k3, v3: (B, N, H*D) with H*D % 128 == 0 and D in {64, 128}.
     q3 must already carry the softmax scale."""
+    import os
     b, n, hd = q3.shape
     m = k3.shape[1]
     heads_per_slab = LANES // head_dim
@@ -255,11 +284,14 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim):
     block_q = _packed_block_q(n, m, heads_per_slab)
     grid = (b, slabs, cdiv(n, block_q))
     n_heads = hd // head_dim
+    if k_chunk is None:
+        k_chunk = int(os.environ.get("ENHANCING_TPU_ATTN_KCHUNK", "0"))
 
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, mask_mode=mask_mode,
                           cond_len=cond_len, block_q=block_q,
-                          heads_per_slab=heads_per_slab, head_dim=head_dim),
+                          heads_per_slab=heads_per_slab, head_dim=head_dim,
+                          k_chunk=k_chunk),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
         grid=grid,
         in_specs=[

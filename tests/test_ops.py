@@ -235,3 +235,16 @@ def test_decode_attention_ignores_stale_cache_rows(rng):
     vc2 = vc.at[:, 100:].set(-1e6)
     out = att._decode_pallas(q, kc2, vc2, kn, vn, cl, head_dim, block_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode,cl", [("none", 0), ("prefix_causal", 3)])
+def test_attention_packed_kchunk_matches_whole_row(rng, mode, cl):
+    """Online (flash-style) k-chunked softmax == whole-row softmax."""
+    b, n, hd, d = 2, 128, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32) * 0.125
+    k = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    whole = att._attention_packed_call(q, k, v, mode, cl, d, k_chunk=0)
+    chunked = att._attention_packed_call(q, k, v, mode, cl, d, k_chunk=32)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                               atol=3e-5, rtol=1e-4)
