@@ -1,6 +1,9 @@
 from .layers import GPT, Block, FFN, MultiHeadSelfAttention, RQTransformer
-from .sampling import filter_logits, sample_gpt, sample_rq
+from .sampling import (filter_logits, sample_gpt,
+                       sample_gpt_sharded, sample_rq,
+                       sample_rq_sharded)
 from .transformer import CondTransformer
 
 __all__ = ["GPT", "RQTransformer", "Block", "FFN", "MultiHeadSelfAttention",
-           "CondTransformer", "sample_gpt", "sample_rq", "filter_logits"]
+           "CondTransformer", "sample_gpt", "sample_rq", "filter_logits",
+           "sample_gpt_sharded", "sample_rq_sharded"]

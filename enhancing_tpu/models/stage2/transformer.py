@@ -16,7 +16,8 @@ import numpy as np
 
 from ...utils.config import initialize_from_config
 from .layers import GPT, RQTransformer
-from .sampling import sample_gpt, sample_rq
+from .sampling import (sample_gpt, sample_gpt_sharded, sample_rq,
+                       sample_rq_sharded)
 
 
 class CondTransformer:
@@ -115,15 +116,26 @@ class CondTransformer:
 
     def sample(self, conds: jax.Array, top_k: Optional[int] = None,
                top_p: Optional[float] = None, softmax_temperature: float = 1.0,
-               seed: int = 0, params=None, return_codes: bool = False):
-        """Generate images for the given condition codes (transformer.py:78-95)."""
+               seed: int = 0, params=None, return_codes: bool = False,
+               mesh=None):
+        """Generate images for the given condition codes (transformer.py:78-95).
+
+        ``mesh``: optional jax.sharding.Mesh — the batch then decodes
+        data-parallel over the mesh's 'data' axis (one shard_map'd program,
+        per-shard KV caches and RNG streams)."""
         params = self.params if params is None else params
         conds = jnp.asarray(conds).reshape(len(conds), -1).astype(jnp.int32)
         rng = jax.random.PRNGKey(seed)
-        sampler = sample_rq if self.is_rq else sample_gpt
-        _, codes = sampler(self.transformer, {"params": params}, conds, rng,
-                           top_k=top_k, top_p=top_p,
-                           temperature=float(softmax_temperature))
+        if mesh is not None:
+            sampler = sample_rq_sharded if self.is_rq else sample_gpt_sharded
+            _, codes = sampler(mesh, self.transformer, {"params": params},
+                               conds, rng, top_k=top_k, top_p=top_p,
+                               temperature=float(softmax_temperature))
+        else:
+            sampler = sample_rq if self.is_rq else sample_gpt
+            _, codes = sampler(self.transformer, {"params": params}, conds,
+                               rng, top_k=top_k, top_p=top_p,
+                               temperature=float(softmax_temperature))
         if self.code_shape is not None:
             codes = codes.reshape(codes.shape[0], *self.code_shape)
         pixels = jnp.clip(self.stage1_model.decode_codes(codes), 0.0, 1.0)

@@ -64,6 +64,43 @@ def replicated_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree.map(lambda _: P(), params)
 
 
+def zero1_specs(tree: Dict[str, Any], mesh: Mesh,
+                min_size: int = 4096) -> Dict[str, Any]:
+    """ZeRO-1-style PartitionSpec tree: shard each leaf's largest
+    data-divisible axis over the 'data' mesh axis.
+
+    Applied to *optimizer state* (Adam moments): with replicated params and
+    data-sharded moments, GSPMD partitions the elementwise moment updates
+    across the data axis and all-gathers the updated params — the ZeRO-1
+    memory/compute split, expressed purely as sharding annotations (the
+    reference has no equivalent; its DDP replicates optimizer state
+    per-GPU, SURVEY §2.9).
+
+    Only matrix-shaped leaves (ndim <= 3) with >= ``min_size`` elements are
+    sharded: that is where the moment memory lives (dense/attention kernels,
+    embedding tables). Conv kernels (ndim 4) stay replicated — their
+    channel-sharded moment layouts propagate into the conv gradient
+    computation where GSPMD falls back to full rematerialization.
+    Scalars, small and non-divisible leaves replicate.
+    """
+    from .mesh import DATA_AXIS
+    n = mesh.shape[DATA_AXIS]
+
+    def spec_for(leaf):
+        if (not hasattr(leaf, "ndim") or leaf.ndim == 0 or leaf.ndim > 3
+                or n <= 1 or leaf.size < min_size):
+            return P()
+        dims = list(getattr(leaf, "shape", ()))
+        best = max(range(len(dims)), key=lambda i: dims[i])
+        if dims[best] % n != 0:
+            return P()
+        axes: list = [None] * len(dims)
+        axes[best] = DATA_AXIS
+        return P(*axes)
+
+    return jax.tree.map(spec_for, tree)
+
+
 def place_params(mesh: Mesh, params: Dict[str, Any],
                  specs: Dict[str, Any]) -> Dict[str, Any]:
     """device_put the param tree with the given specs on the mesh."""

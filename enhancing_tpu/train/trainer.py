@@ -20,7 +20,8 @@ import orbax.checkpoint as ocp
 from ..models.stage1.vitvqgan import ViTVQ, _as_nhwc
 from ..models.stage2.transformer import CondTransformer
 from ..parallel.mesh import batch_sharding, is_main_process, make_mesh
-from ..parallel.sharding import gpt_param_specs, place_params, replicated_specs
+from ..parallel.sharding import (gpt_param_specs, place_params,
+                                 replicated_specs, zero1_specs)
 from ..utils.callback import ImageLogger
 from .optim import make_ae_optimizer, make_gpt_optimizer
 from .steps import (
@@ -42,7 +43,8 @@ class Trainer:
                  callbacks: Optional[list] = None,
                  max_steps: Optional[int] = None,
                  split_gan_step: bool = False,
-                 metrics_logger=None) -> None:
+                 metrics_logger=None,
+                 zero1: bool = False) -> None:
         self.max_epochs = max_epochs
         self.base_lr = base_lr
         self.use_amp = use_amp
@@ -57,6 +59,8 @@ class Trainer:
         self.max_steps = max_steps
         self.split_gan_step = split_gan_step
         self.metrics_logger = metrics_logger  # e.g. utils.logging.WandbLogger
+        # ZeRO-1: shard optimizer moments over the 'data' axis (sharding.py)
+        self.zero1 = zero1
         self.global_step = 0
         self._ckpt_mgr = None
         if self.basedir is not None:
@@ -93,6 +97,12 @@ class Trainer:
                       if has_disc else None),
             lpips_params=getattr(loss_obj, "lpips_params", None))
         specs = replicated_specs(state)
+        if self.zero1:
+            # AE moments only: the discriminator's are small and its
+            # conv-kernel moment shardings trip GSPMD's conv-grad
+            # full-rematerialization fallback (sharding.py:zero1_specs).
+            specs = specs.replace(
+                ae_opt=zero1_specs(state.ae_opt, self.mesh))
         state = place_params(self.mesh, state, specs)
         if self.split_gan_step:
             from .steps import make_vitvq_train_steps_split
@@ -124,8 +134,11 @@ class Trainer:
         params = model.params
         specs = gpt_param_specs(params)
         params = place_params(self.mesh, params, specs)
+        opt = tx.init(params)
+        if self.zero1:
+            opt = place_params(self.mesh, opt, zero1_specs(opt, self.mesh))
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt=tx.init(params))
+                           opt=opt)
         train_step = make_cond_transformer_train_step(model, tx)
         return state, train_step
 

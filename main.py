@@ -39,6 +39,9 @@ def main() -> None:
     parser.add_argument("--split_gan_step", action="store_true",
                         help="compile AE and discriminator updates as two "
                              "smaller XLA programs (faster compiles)")
+    parser.add_argument("--zero1", action="store_true",
+                        help="shard optimizer state over the data axis "
+                             "(ZeRO-1 via GSPMD sharding annotations)")
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
@@ -90,7 +93,8 @@ def main() -> None:
                       callbacks=[setup_cb, image_cb],
                       max_steps=args.max_steps,
                       split_gan_step=args.split_gan_step,
-                      metrics_logger=wandb_logger)
+                      metrics_logger=wandb_logger,
+                      zero1=args.zero1)
     trainer.fit(model, data)
 
 

@@ -24,6 +24,8 @@ def main() -> None:
     p.add_argument("-n", "--num_per_class", type=int, default=1)
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("-o", "--outdir", default="samples")
+    p.add_argument("--shard", action="store_true",
+                   help="decode the batch data-parallel over all devices")
     args = p.parse_args()
 
     from enhancing_tpu.utils import get_config_from_file, initialize_from_config
@@ -34,9 +36,13 @@ def main() -> None:
 
     conds = np.repeat(np.asarray(args.classes, np.int32),
                       args.num_per_class)[:, None]
+    mesh = None
+    if args.shard:
+        from enhancing_tpu.parallel import make_mesh
+        mesh = make_mesh()
     pixels = model.sample(conds, top_k=args.top_k, top_p=args.top_p,
                           softmax_temperature=args.temperature,
-                          seed=args.seed)
+                          seed=args.seed, mesh=mesh)
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     save_image_grid(np.asarray(pixels), outdir / "samples.png",
