@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import cdiv, interpret_mode, use_pallas
+from .partition import partitioned
 
 NEG_INF = -1e30
 
@@ -132,13 +133,28 @@ def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
 # Public op: Pallas forward + XLA-derived backward.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attention_fused(q, k, v, scale, mask_mode, cond_len):
+def _bhnd_fwd_impl(q, k, v, scale, mask_mode, cond_len):
+    """Local-shape dispatch for the (B,H,N,D) kernel: called by the SPMD
+    partitioner once with global shapes and once per shard with local
+    blocks (batch/head dims sharded; see ops/partition.py)."""
+    if q.shape[0] * q.shape[1] == 0:
+        return jnp.zeros_like(q)
     return _attention_pallas(q, k, v, scale, mask_mode, cond_len)
 
 
+# batch and heads shard freely; softmax rows need full key/value sequences
+_bhnd_fwd = partitioned(
+    _bhnd_fwd_impl, "b h n d, b h m d, b h m d -> b h n d",
+    need_replication=("n", "m", "d"), static_argnums=(3, 4, 5))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_fused(q, k, v, scale, mask_mode, cond_len):
+    return _bhnd_fwd(q, k, v, scale, mask_mode, cond_len)
+
+
 def _attention_fused_fwd(q, k, v, scale, mask_mode, cond_len):
-    return _attention_pallas(q, k, v, scale, mask_mode, cond_len), (q, k, v)
+    return _bhnd_fwd(q, k, v, scale, mask_mode, cond_len), (q, k, v)
 
 
 def _attention_fused_bwd(scale, mask_mode, cond_len, res, g):
@@ -400,13 +416,18 @@ def _attention_xla_bnhd(q, k, v, scale, mask_mode, cond_len):
     return out.transpose(0, 2, 1, 3)
 
 
+_bnhd_fwd = partitioned(
+    _attention_pallas_bnhd, "b n h d, b m h d, b m h d -> b n h d",
+    need_replication=("n", "m", "d"), static_argnums=(3, 4, 5))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attention_fused_bnhd(q, k, v, scale, mask_mode, cond_len):
-    return _attention_pallas_bnhd(q, k, v, scale, mask_mode, cond_len)
+    return _bnhd_fwd(q, k, v, scale, mask_mode, cond_len)
 
 
 def _attention_fused_bnhd_fwd(q, k, v, scale, mask_mode, cond_len):
-    return _attention_pallas_bnhd(q, k, v, scale, mask_mode, cond_len), (q, k, v)
+    return _bnhd_fwd(q, k, v, scale, mask_mode, cond_len), (q, k, v)
 
 
 def _attention_fused_bnhd_bwd(scale, mask_mode, cond_len, res, g):
@@ -570,20 +591,61 @@ def _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim):
     return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
 
+def _packed_local_ok(q3, k3, head_dim: int) -> bool:
+    """Does this (possibly per-shard local) shape support the packed kernel?
+    Head-dim sharding hands each shard a contiguous lane chunk; a chunk that
+    is a multiple of 128 holds whole head-pair slabs, so the unmodified
+    kernel is correct on it."""
+    b, n, hd = q3.shape
+    m = k3.shape[1]
+    return (hd % LANES == 0 and hd % head_dim == 0
+            and _packed_supported(hd // head_dim, head_dim, n, m))
+
+
+def _packed_fwd_impl(q3, k3, v3, mask_mode, cond_len, head_dim):
+    if _packed_local_ok(q3, k3, head_dim):
+        return _attention_packed_call(q3, k3, v3, mask_mode, cond_len,
+                                      head_dim)
+    return _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim)
+
+
+def _packed_bwd_impl(q3, k3, v3, do3, mask_mode, cond_len, head_dim):
+    if _packed_local_ok(q3, k3, head_dim):
+        return _attention_packed_bwd_call(q3, k3, v3, do3, mask_mode,
+                                          cond_len, head_dim)
+    _, vjp = jax.vjp(
+        lambda a, b, c: _attention_xla_packed(a, b, c, mask_mode, cond_len,
+                                              head_dim), q3, k3, v3)
+    return vjp(do3)
+
+
+# batch shards freely; the packed head axis (hd) shards on whole 128-lane
+# slabs (local blocks falling off that grid use the XLA twin — still
+# collective-free); softmax rows need the full key sequence.
+_packed_fwd = partitioned(
+    _packed_fwd_impl, "b n hd, b m hd, b m hd -> b n hd",
+    need_replication=("n", "m"), static_argnums=(3, 4, 5))
+
+_packed_bwd = partitioned(
+    _packed_bwd_impl,
+    "b n hd, b m hd, b m hd, b n hd -> b n hd, b m hd, b m hd",
+    need_replication=("n", "m"), static_argnums=(4, 5, 6))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attention_fused_packed(q3, k3, v3, mask_mode, cond_len, head_dim):
-    return _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim)
+    return _packed_fwd(q3, k3, v3, mask_mode, cond_len, head_dim)
 
 
 def _attention_fused_packed_fwd(q3, k3, v3, mask_mode, cond_len, head_dim):
-    o = _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim)
+    o = _packed_fwd(q3, k3, v3, mask_mode, cond_len, head_dim)
     return o, (q3, k3, v3)
 
 
 def _attention_fused_packed_bwd(mask_mode, cond_len, head_dim, res, g):
     q3, k3, v3 = res
-    return _attention_packed_bwd_call(q3, k3, v3, g.astype(q3.dtype),
-                                      mask_mode, cond_len, head_dim)
+    return _packed_bwd(q3, k3, v3, g.astype(q3.dtype), mask_mode, cond_len,
+                       head_dim)
 
 
 _attention_fused_packed.defvjp(_attention_fused_packed_fwd,
@@ -749,6 +811,23 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256):
     return out[:, 0, :]
 
 
+def _decode_impl(q3, kc, vc, kn, vn, cur, head_dim):
+    """Local-shape dispatch (cur: (1,) int32 so the partitioner sees an
+    array operand, not a traced scalar)."""
+    m, hd = kc.shape[1], kc.shape[2]
+    if (hd % head_dim == 0 and m >= 128
+            and _packed_supported(hd // head_dim, head_dim, LANES, m)):
+        return _decode_pallas(q3, kc, vc, kn, vn, cur[0], head_dim)
+    return _decode_xla(q3, kc, vc, kn, vn, cur[0], head_dim)
+
+
+# batch and whole-head chunks of hd shard freely (tp decode); the cache
+# length axis m must be local in full for the online softmax.
+_decode_part = partitioned(
+    _decode_impl, "b hd, b m hd, b m hd, b hd, b hd, u -> b hd",
+    need_replication=("m", "u"), static_argnums=(6,))
+
+
 def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      k_new: jax.Array, v_new: jax.Array, cur_len: jax.Array,
                      *, head_dim: int, impl: str | None = "auto") -> jax.Array:
@@ -770,8 +849,8 @@ def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     n_heads = hd // head_dim
     if use_pallas(impl) and _packed_supported(n_heads, head_dim, LANES, m) \
             and m >= 128:
-        return _decode_pallas(q3, k_cache, v_cache, k_new, v_new, cur_len,
-                              head_dim)
+        cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
+        return _decode_part(q3, k_cache, v_cache, k_new, v_new, cur, head_dim)
     return _decode_xla(q3, k_cache, v_cache, k_new, v_new, cur_len, head_dim)
 
 

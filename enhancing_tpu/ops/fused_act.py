@@ -21,6 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode, use_pallas
+from .partition import partitioned
 
 SLOPE = 0.2
 SCALE = math.sqrt(2.0)
@@ -37,21 +38,21 @@ def _kernel(x_ref, b_ref, o_ref, *, slope: float, scale: float):
     o_ref[:] = (scale * jnp.where(t >= 0, t, slope * t)).astype(o_ref.dtype)
 
 
-def _fused_pallas(x: jax.Array, bias: jax.Array, slope: float, scale: float
-                  ) -> jax.Array:
-    orig_shape = x.shape
-    c = x.shape[-1]
-    x2 = x.reshape(-1, c)
-    b2 = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (1, c))
-
-    m = x2.shape[0]
+def _fused_pallas2d(x2: jax.Array, b2: jax.Array, slope: float, scale: float
+                    ) -> jax.Array:
+    """Local-shape dispatch for the SPMD partitioner (ops/partition.py):
+    rows and channels shard freely; misaligned local blocks take XLA."""
+    m, c = x2.shape
+    if m < 8 or c % 8 != 0:
+        t = x2 + b2.astype(x2.dtype)
+        return scale * jnp.where(t >= 0, t, slope * t)
     # VMEM budget: in + out blocks, double-buffered, fp32 worst case
     budget = 4 * 1024 * 1024
     block_m = max(8, min(m, budget // (c * 4 * 4)))
     block_m = (block_m // 8) * 8 or 8
     out = pl.pallas_call(
         functools.partial(_kernel, slope=slope, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         grid=(pl.cdiv(m, block_m),),
         in_specs=[
             pl.BlockSpec((block_m, c), lambda i: (i, 0),
@@ -62,7 +63,21 @@ def _fused_pallas(x: jax.Array, bias: jax.Array, slope: float, scale: float
                                memory_space=pltpu.VMEM),
         interpret=interpret_mode(),
     )(x2, b2)
-    return out.reshape(orig_shape)
+    return out
+
+
+# rows and channels both shard (bias rides the channel factor with x).
+_fused2d_part = partitioned(_fused_pallas2d, "m c, u c -> m c",
+                            need_replication=("u",), static_argnums=(2, 3))
+
+
+def _fused_pallas(x: jax.Array, bias: jax.Array, slope: float, scale: float
+                  ) -> jax.Array:
+    orig_shape = x.shape
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
+    b2 = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (1, c))
+    return _fused2d_part(x2, b2, slope, scale).reshape(orig_shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

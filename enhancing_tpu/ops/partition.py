@@ -1,0 +1,119 @@
+"""GSPMD/Shardy partitioning rules for the Pallas op library.
+
+A ``pl.pallas_call`` lowers to an opaque custom call, so under a sharded
+``jit`` the SPMD partitioner cannot see inside it: it all-gathers every
+operand to full shape on every device, runs the kernel replicated, and
+re-shards the result (measured: 22 all-gather ops around one attention call
+on an 8-device mesh). That silently erases data/tensor parallelism exactly
+on the hot ops this library exists to accelerate.
+
+Every kernel here is *batch-parallel* along one or more dims (attention over
+batch and heads, VQ search over query rows, elementwise ops over rows):
+shards along those dims can run the unmodified kernel on their local block
+with zero communication. :func:`partitioned` declares that contract through
+``jax.experimental.custom_partitioning``:
+
+- a Shardy ``sharding_rule`` (einsum-like factor string) tells the
+  propagation pass which dims may stay sharded (passthrough factors) and
+  which the kernel needs replicated (``need_replication_factors`` — e.g.
+  the key/value sequence axis a softmax row must see in full);
+- the ``partition`` callback lowers to the *local* implementation on each
+  shard's block. The wrapped impl must therefore be shape-polymorphic: it
+  re-checks Pallas tiling support on the LOCAL shape and falls back to its
+  XLA twin when a shard's block is too small/misaligned — so any sharding
+  the rule admits is correct, just not always on the fast path.
+
+The reference has no analogue (its CUDA ops run under one-process-per-GPU
+DDP where every tensor is already local; reference: enhancing/losses/op/
+fused_act.py:26-32); this is the GSPMD-native replacement for that
+"everything is local" assumption.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Sequence, Tuple
+
+import jax
+from jax.experimental.custom_partitioning import custom_partitioning
+
+
+def _merge_args(operands: Sequence, static: Sequence,
+                static_argnums: Tuple[int, ...]) -> list:
+    """Interleave runtime operands and static values back into positional
+    order (custom_partitioning passes them to callbacks separately)."""
+    n = len(operands) + len(static)
+    out, oi, si = [None] * n, 0, 0
+    for i in range(n):
+        if i in static_argnums:
+            out[i] = static[si]
+            si += 1
+        else:
+            out[i] = operands[oi]
+            oi += 1
+    return out
+
+
+def partitioning_enabled() -> bool:
+    """Escape hatch: ENHANCING_TPU_NO_CUSTOM_PARTITION=1 restores the plain
+    (replicating) dispatch — useful to A/B the partitioner itself."""
+    return not os.environ.get("ENHANCING_TPU_NO_CUSTOM_PARTITION")
+
+
+def partitioned(impl_fn: Callable, rule: str, *,
+                need_replication: Tuple[str, ...] = (),
+                static_argnums: Tuple[int, ...] = ()) -> Callable:
+    """Wrap ``impl_fn`` so jit/GSPMD partitions it instead of replicating it.
+
+    Args:
+      impl_fn: the op implementation. Called twice per specialization — once
+        at trace time with GLOBAL shapes and once at lowering time with each
+        shard's LOCAL block shapes — so it must dispatch correctly for both
+        (Pallas when the shape supports it, XLA twin otherwise).
+      rule: Shardy einsum-like factor string, e.g.
+        ``'b n hd, b m hd, b m hd -> b n hd'``. Factors not listed in
+        ``need_replication`` may stay sharded and the kernel runs on local
+        blocks with no collectives.
+      need_replication: factors the kernel must see in full (e.g. softmax
+        rows, codebook axes). The partitioner inserts the all-gathers for
+        ONLY these dims.
+      static_argnums: positions of static (hashable, non-array) args.
+    """
+    cp = custom_partitioning(impl_fn, static_argnums=static_argnums)
+    static_argnums = tuple(static_argnums)
+
+    def partition(*args):
+        *static, mesh, arg_shapes, result_shape = args
+        arg_shardings = jax.tree.map(lambda s: s.sharding, arg_shapes)
+        result_shardings = jax.tree.map(lambda s: s.sharding, result_shape)
+
+        def lower_fn(*operands):
+            return impl_fn(*_merge_args(operands, static, static_argnums))
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    def infer_sharding_from_operands(*args):
+        # GSPMD (non-Shardy) fallback: result follows the first operand.
+        *static, mesh, arg_shapes, result_shape = args
+        first = jax.tree.leaves(arg_shapes)[0].sharding
+        return jax.tree.map(lambda _: first, result_shape)
+
+    # Shardy numbers factors by first appearance in the rule and requires
+    # special-factor lists sorted by that index.
+    order = [t for t in rule.replace(",", " ").replace("->", " ").split()
+             if not t.startswith("(")]
+    first_pos = {f: order.index(f) for f in set(order)}
+    need_replication = sorted(need_replication, key=lambda f: first_pos[f])
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer_sharding_from_operands,
+                     sharding_rule=rule,
+                     need_replication_factors=tuple(need_replication))
+
+    @functools.wraps(impl_fn)
+    def entry(*args):
+        if partitioning_enabled():
+            return cp(*args)
+        return impl_fn(*args)
+
+    return entry

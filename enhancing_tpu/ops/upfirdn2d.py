@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode, use_pallas
+from .partition import partitioned
 
 
 def _norm_pad(pad) -> Tuple[int, int, int, int]:
@@ -119,13 +120,20 @@ def _upfirdn2d_pallas_fir(x: jax.Array, taps: tuple, pad) -> jax.Array:
     )(x)
 
 
+# batch and channels shard; the FIR spatial window needs full rows/cols
+# (h, w inputs and i, j outputs are result-size-changing -> replicated).
+_fir_part = partitioned(_upfirdn2d_pallas_fir, "b h w c -> b i j c",
+                        need_replication=("h", "w", "i", "j"),
+                        static_argnums=(1, 2))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _fir_fused(x, taps, pad):
-    return _upfirdn2d_pallas_fir(x, taps, pad)
+    return _fir_part(x, taps, pad)
 
 
 def _fir_fused_fwd(x, taps, pad):
-    return _upfirdn2d_pallas_fir(x, taps, pad), x
+    return _fir_part(x, taps, pad), x
 
 
 def _fir_fused_bwd(taps, pad, x, g):

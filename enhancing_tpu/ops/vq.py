@@ -20,6 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import cdiv, interpret_mode, round_up, use_pallas
+from .partition import partitioned
 
 
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -120,6 +121,20 @@ def _nearest_pallas(z: jax.Array, codebook: jax.Array,
     return idx[:, 0]
 
 
+def _nearest_impl(z2, codebook):
+    """Local-shape dispatch for the SPMD partitioner (ops/partition.py):
+    query rows shard freely over the mesh; tiny local blocks take the XLA
+    path."""
+    if z2.shape[0] >= 8:
+        return _nearest_pallas(z2, codebook)
+    return _nearest_xla(z2, codebook)
+
+
+# query rows (m) shard; every shard needs the whole codebook (n, d).
+_nearest_part = partitioned(_nearest_impl, "m d, n d -> m",
+                            need_replication=("n", "d"))
+
+
 def nearest_codebook_indices(z: jax.Array, codebook: jax.Array, *,
                              impl: str | None = "auto") -> jax.Array:
     """Indices of the nearest codebook row (L2) for each row of ``z``.
@@ -137,7 +152,7 @@ def nearest_codebook_indices(z: jax.Array, codebook: jax.Array, *,
     z2 = jax.lax.stop_gradient(z.reshape(-1, z.shape[-1]))
     codebook = jax.lax.stop_gradient(codebook)
     if use_pallas(impl) and z2.shape[0] >= 8:
-        idx = _nearest_pallas(z2, codebook)
+        idx = _nearest_part(z2, codebook)
     else:
         idx = _nearest_xla(z2, codebook)
     return idx.reshape(batch_shape)
