@@ -159,7 +159,15 @@ class FFN(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-LN attention + MLP residual block (reference layers.py:112-143)."""
+    """Pre-LN attention + MLP residual block (reference layers.py:112-143).
+
+    ``sp_mesh``: optional Mesh enabling Megatron-style sequence parallelism
+    for the residual stream — LayerNorm/residual activations constrained to
+    P('data', 'model', None), so the elementwise segments compute (and their
+    activations live) on sequence shards; GSPMD derives the all-gather into
+    the column-parallel qkv/FFN matmuls and the reduce-scatter out of the
+    row-parallel projections. Pure annotation — no hand-written collectives
+    (the reference has no model parallelism at all, SURVEY §2.9)."""
 
     embed_dim: int
     n_heads: int
@@ -167,6 +175,15 @@ class Block(nn.Module):
     mlp_bias: bool = True
     attn_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    sp_mesh: Optional[jax.sharding.Mesh] = None
+
+    def _sp(self, x: jax.Array) -> jax.Array:
+        if self.sp_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ...parallel.mesh import DATA_AXIS, MODEL_AXIS
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.sp_mesh, P(DATA_AXIS, MODEL_AXIS, None)))
 
     def setup(self) -> None:
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -177,8 +194,9 @@ class Block(nn.Module):
         self.mlp = FFN(self.embed_dim, self.mlp_bias, dtype=self.dtype)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = x + self.attn(self.ln1(x))
-        x = x + self.mlp(self.ln2(x))
+        x = self._sp(x)
+        x = self._sp(x + self.attn(self.ln1(x)))
+        x = self._sp(x + self.mlp(self.ln2(x)))
         return x
 
     def decode(self, x, k_cache, v_cache, cur_len, shift_prev):
@@ -235,6 +253,8 @@ class GPT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = True
     remat: bool = False
+    # sequence parallelism for the residual stream (see Block.sp_mesh)
+    sp_mesh: Optional[jax.sharding.Mesh] = None
 
     @property
     def ctx_len(self) -> int:
@@ -251,7 +271,8 @@ class GPT(nn.Module):
                                        (1, self.img_num_tokens, self.embed_dim))
         block_kw = dict(embed_dim=self.embed_dim, n_heads=self.n_heads,
                         cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
-                        attn_bias=self.attn_bias, dtype=self.dtype)
+                        attn_bias=self.attn_bias, dtype=self.dtype,
+                        sp_mesh=self.sp_mesh)
         if self.scan_layers:
             # one compiled block body shared by all layers (stacked params)
             target = nn.remat(Block) if self.remat else Block
@@ -402,6 +423,9 @@ class RQTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = True
     remat: bool = False
+    # sequence parallelism for the SPATIAL stack's residual stream (the
+    # depth stack's window is tiny, <= 8 tokens — nothing to shard)
+    sp_mesh: Optional[jax.sharding.Mesh] = None
 
     @property
     def ctx_len(self) -> int:
@@ -423,7 +447,8 @@ class RQTransformer(nn.Module):
 
         sp_kw = dict(embed_dim=self.embed_dim, n_heads=self.spatial_n_heads,
                      cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
-                     attn_bias=self.attn_bias, dtype=self.dtype)
+                     attn_bias=self.attn_bias, dtype=self.dtype,
+                     sp_mesh=self.sp_mesh)
         dp_kw = dict(embed_dim=self.embed_dim, n_heads=self.depth_n_heads,
                      cond_len=0, mlp_bias=self.mlp_bias,
                      attn_bias=self.attn_bias, dtype=self.dtype)

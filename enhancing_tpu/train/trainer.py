@@ -44,7 +44,8 @@ class Trainer:
                  max_steps: Optional[int] = None,
                  split_gan_step: bool = False,
                  metrics_logger=None,
-                 zero1: bool = False) -> None:
+                 zero1: bool = False,
+                 sp: bool = False) -> None:
         self.max_epochs = max_epochs
         self.base_lr = base_lr
         self.use_amp = use_amp
@@ -61,6 +62,8 @@ class Trainer:
         self.metrics_logger = metrics_logger  # e.g. utils.logging.WandbLogger
         # ZeRO-1: shard optimizer moments over the 'data' axis (sharding.py)
         self.zero1 = zero1
+        # sequence parallelism for stage-2 priors (Block.sp_mesh)
+        self.sp = sp
         self.global_step = 0
         self._ckpt_mgr = None
         if self.basedir is not None:
@@ -122,6 +125,13 @@ class Trainer:
         return state, train_step, eval_step
 
     def _build_stage2(self, model: CondTransformer):
+        from ..parallel.mesh import MODEL_AXIS
+        if self.sp and self.mesh.shape[MODEL_AXIS] > 1:
+            # rebind the prior with sequence-parallel residual streams
+            # (annotation-only; params/trees are unchanged)
+            import dataclasses
+            model.transformer = dataclasses.replace(model.transformer,
+                                                    sp_mesh=self.mesh)
         sched = None
         if model.scheduler is not None:
             from ..utils.config import initialize_from_config

@@ -42,6 +42,9 @@ def main() -> None:
     parser.add_argument("--zero1", action="store_true",
                         help="shard optimizer state over the data axis "
                              "(ZeRO-1 via GSPMD sharding annotations)")
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence-parallel residual streams for the "
+                             "stage-2 prior (needs a model axis, -mp > 1)")
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
@@ -94,7 +97,8 @@ def main() -> None:
                       max_steps=args.max_steps,
                       split_gan_step=args.split_gan_step,
                       metrics_logger=wandb_logger,
-                      zero1=args.zero1)
+                      zero1=args.zero1,
+                      sp=args.sp)
     trainer.fit(model, data)
 
 

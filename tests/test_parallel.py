@@ -246,3 +246,88 @@ def test_tp_sharded_params_sampling_matches_replicated(devices):
     with mesh:
         _, got = sample_gpt(m, vs_tp, conds, rng, top_k=8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sequence_parallel_gpt_matches_replicated(devices):
+    """sp_mesh (Megatron-SP residual-stream constraints) changes only the
+    layout: forward logits and grads match the unannotated module, including
+    a sequence length (17) not divisible by the model axis (4)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from enhancing_tpu.models.stage2 import GPT
+    from enhancing_tpu.parallel import make_mesh
+    from enhancing_tpu.parallel.sharding import gpt_param_specs, place_params
+
+    mesh = make_mesh(data=2, model=4, devices=devices)
+    rng = np.random.default_rng(0)
+    m = GPT(vocab_cond_size=10, vocab_img_size=32, embed_dim=128,
+            cond_num_tokens=1, img_num_tokens=16, n_heads=4, n_layers=2)
+    codes = jnp.asarray(rng.integers(0, 32, (4, 16)), jnp.int32)
+    conds = jnp.asarray(rng.integers(0, 10, (4, 1)), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), codes, conds)
+    want = m.apply(vs, codes, conds)
+
+    m_sp = dataclasses.replace(m, sp_mesh=mesh)
+    vs_sp = place_params(mesh, vs, {"params": gpt_param_specs(vs["params"])})
+    bs = NamedSharding(mesh, P("data"))
+    codes_s = jax.device_put(codes, bs)
+    conds_s = jax.device_put(conds, bs)
+    got = jax.jit(m_sp.apply)(vs_sp, codes_s, conds_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def loss(variables, mod):
+        return jnp.sum(jnp.square(mod.apply(variables, codes, conds)))
+
+    g0 = jax.grad(lambda v: loss(v, m))(vs)
+    g1 = jax.jit(jax.grad(lambda v: loss(v, m_sp)))(vs_sp)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-4)
+
+
+def test_trainer_sp_flag_stage2(devices):
+    """Trainer(sp=True) rebinds the prior with sp_mesh and trains."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.parallel import make_mesh
+    from enhancing_tpu.train import Trainer
+    from enhancing_tpu.utils.config import ConfigDict, initialize_from_config
+
+    mesh = make_mesh(data=4, model=2, devices=devices)
+    tiny = dict(dim=32, depth=1, heads=2, mlp_dim=64)
+    cfg = ConfigDict({
+        "target": "enhancing_tpu.models.stage2.transformer.CondTransformer",
+        "params": {
+            "cond_key": "class",
+            "stage1": {
+                "target": "enhancing_tpu.models.stage1.vitvqgan.ViTVQ",
+                "params": {"image_size": 16, "patch_size": 4,
+                           "encoder": tiny, "decoder": tiny,
+                           "quantizer": {"embed_dim": 8, "n_embed": 32}}},
+            "cond": {
+                "target": "enhancing_tpu.models.cond.dummycond.ClassCond",
+                "params": {"image_size": 16,
+                           "class_name": "assets/class/imagenet.txt"}},
+            "transformer": {
+                "target": "enhancing_tpu.models.stage2.layers.GPT",
+                "params": {"vocab_cond_size": 1000, "vocab_img_size": 32,
+                           "embed_dim": 64, "cond_num_tokens": 1,
+                           "img_num_tokens": 16, "n_heads": 2,
+                           "n_layers": 2}}}})
+    model = initialize_from_config(cfg)
+    tr = Trainer(max_epochs=1, base_lr=1e-4, mesh=mesh, log_every=10**9,
+                 max_steps=1, sp=True)
+    state, step = tr._build_stage2(model)
+    assert model.transformer.sp_mesh is mesh
+    images = tr._shard(jnp.asarray(
+        np.random.default_rng(0).random((8, 16, 16, 3)), jnp.float32))
+    conds = tr._shard(jnp.zeros((8, 1), jnp.int32))
+    state, log = step(state, images, conds)
+    assert np.isfinite(float(log["train/total_loss"]))
