@@ -300,21 +300,30 @@ class GPT(nn.Module):
             x = block(x)
         return x
 
+    def embed_input(self, codes: jax.Array, conds: jax.Array) -> jax.Array:
+        """Token + position embeddings -> the (B, ctx, C) block-stack input
+        (split out so parallel/pipeline.py can run the blocks itself)."""
+        codes = codes.reshape(codes.shape[0], -1)
+        conds = conds.reshape(conds.shape[0], -1)
+        ce = self.tok_emb_code(codes) + self.pos_emb_code.astype(self.dtype)
+        cc = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
+        return jnp.concatenate([cc, ce], axis=1)
+
+    def project_out(self, x: jax.Array) -> jax.Array:
+        """Final LN + prediction-window slice + vocab head."""
+        x = self.layer_norm(x)
+        x = x[:, self.cond_num_tokens - 1:-1]
+        return self.head(x)
+
     def __call__(self, codes: jax.Array, conds: jax.Array) -> jax.Array:
         """codes: (B, img_num_tokens) int, conds: (B, cond_num_tokens) int.
 
         Returns logits (B, img_num_tokens, vocab_img_size) — the prediction
         window offset by the condition prefix (reference layers.py:193-211).
         """
-        codes = codes.reshape(codes.shape[0], -1)
-        conds = conds.reshape(conds.shape[0], -1)
-        ce = self.tok_emb_code(codes) + self.pos_emb_code.astype(self.dtype)
-        cc = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
-        x = jnp.concatenate([cc, ce], axis=1)
+        x = self.embed_input(codes, conds)
         x = self._run_blocks(x)
-        x = self.layer_norm(x)
-        x = x[:, self.cond_num_tokens - 1:-1]
-        return self.head(x)
+        return self.project_out(x)
 
     # -- cached sampling --------------------------------------------------------
 

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -36,15 +37,24 @@ def init_distributed(coordinator: Optional[str] = None,
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
+              pipe: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over all (or the given) devices."""
+    """Build a (data, model[, pipe]) mesh over all (or the given) devices.
+
+    The ``pipe`` axis (pipeline-parallel stages, parallel/pipeline.py) is
+    only materialised when > 1, so existing 2-axis meshes/specs are
+    unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        data = n // (model * pipe)
+    assert data * model * pipe == n, \
+        f"mesh {data}x{model}x{pipe} != {n} devices"
+    if pipe == 1:
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices).reshape(data, model, pipe)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -44,18 +44,33 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", p)) for p in path)
 
 
-def gpt_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+_STACKED = re.compile(r"(^|/)(blocks|spatial|depth)/")
+
+
+def gpt_param_specs(params: Dict[str, Any],
+                    pipe: bool = False) -> Dict[str, Any]:
     """PartitionSpec tree for a GPT/RQTransformer param tree (handles both
-    per-layer ``blocks_{i}`` and scan-stacked ``blocks`` layouts)."""
+    per-layer ``blocks_{i}`` and scan-stacked ``blocks`` layouts).
+
+    ``pipe=True`` additionally shards the scan-stacked leading layer axis
+    over the 'pipe' mesh axis — pipeline stage assignment as a sharding
+    annotation (parallel/pipeline.py). Composes with the Megatron specs:
+    e.g. a stacked qkv kernel becomes P('pipe', None, 'model')."""
+    from .mesh import PIPE_AXIS
+
     def spec_for(path, leaf):
         name = _path_str(path)
+        stacked = _STACKED.search(name) is not None
+        lead = [PIPE_AXIS] if (pipe and stacked) else [None]
         for pat, spec in _GPT_RULES:
             if pat.search(name):
                 matrix_ndim = len(spec)
                 extra = leaf.ndim - matrix_ndim
-                if extra > 0:  # scan-stacked: leading layer axis unsharded
-                    return P(*([None] * extra), *spec)
+                if extra > 0:   # scan-stacked: leading layer axis
+                    return P(*(lead + [None] * (extra - 1)), *spec)
                 return spec
+        if pipe and stacked and leaf.ndim >= 1:
+            return P(*(lead + [None] * (leaf.ndim - 1)))
         return P()
     return jax.tree_util.tree_map_with_path(spec_for, params)
 

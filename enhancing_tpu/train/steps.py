@@ -263,7 +263,8 @@ def make_vitvq_eval_step(model, loss_obj):
     return eval_step
 
 
-def make_cond_transformer_train_step(cond_model, tx):
+def make_cond_transformer_train_step(cond_model, tx, pp_mesh=None,
+                                     pp_microbatches: int = 8):
     """Stage-2 prior step: frozen encodes + cross-entropy
     (reference transformer.py:107-124).
 
@@ -271,10 +272,17 @@ def make_cond_transformer_train_step(cond_model, tx):
     programs — the encode graph is the same executable the tokenizer's
     inference path uses (compile-cache reuse), and each program stays small
     (matters on remote-compile backends).
+
+    ``pp_mesh``: a mesh with a 'pipe' axis routes the prior forward (and,
+    through AD, its backward) through the GPipe schedule in
+    parallel/pipeline.py with ``pp_microbatches`` microbatches.
     """
     stage1 = cond_model.stage1_model
     transformer = cond_model.transformer
     is_rq = cond_model.is_rq
+    if pp_mesh is not None:
+        assert not is_rq, "pipeline parallelism supports the GPT prior only"
+        from ..parallel.pipeline import gpt_apply_pipelined
 
     @jax.jit
     def encode(stage1_vars, images: jax.Array) -> jax.Array:
@@ -287,7 +295,12 @@ def make_cond_transformer_train_step(cond_model, tx):
     def update(state: TrainState, codes: jax.Array, conds: jax.Array
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_fn(params):
-            logits = transformer.apply({"params": params}, codes, conds)
+            if pp_mesh is not None:
+                logits = gpt_apply_pipelined(
+                    transformer, {"params": params}, codes, conds,
+                    mesh=pp_mesh, n_microbatches=pp_microbatches)
+            else:
+                logits = transformer.apply({"params": params}, codes, conds)
             if is_rq:
                 targets = codes.reshape(-1, codes.shape[-1])
             else:

@@ -45,7 +45,9 @@ class Trainer:
                  split_gan_step: bool = False,
                  metrics_logger=None,
                  zero1: bool = False,
-                 sp: bool = False) -> None:
+                 sp: bool = False,
+                 pipeline_parallel: int = 1,
+                 microbatches: int = 8) -> None:
         self.max_epochs = max_epochs
         self.base_lr = base_lr
         self.use_amp = use_amp
@@ -53,7 +55,7 @@ class Trainer:
         self.basedir = Path(basedir) if basedir else None
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh(
-            model=model_parallel)
+            model=model_parallel, pipe=pipeline_parallel)
         self.checkpoint_every_epochs = checkpoint_every_epochs
         self.log_every = log_every
         self.callbacks = callbacks or []
@@ -64,6 +66,8 @@ class Trainer:
         self.zero1 = zero1
         # sequence parallelism for stage-2 priors (Block.sp_mesh)
         self.sp = sp
+        # GPipe microbatch count when the mesh has a 'pipe' axis
+        self.microbatches = microbatches
         self.global_step = 0
         self._ckpt_mgr = None
         if self.basedir is not None:
@@ -125,7 +129,9 @@ class Trainer:
         return state, train_step, eval_step
 
     def _build_stage2(self, model: CondTransformer):
-        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.mesh import MODEL_AXIS, PIPE_AXIS
+        pp = (PIPE_AXIS in self.mesh.axis_names
+              and self.mesh.shape[PIPE_AXIS] > 1)
         if self.sp and self.mesh.shape[MODEL_AXIS] > 1:
             # rebind the prior with sequence-parallel residual streams
             # (annotation-only; params/trees are unchanged)
@@ -142,14 +148,18 @@ class Trainer:
         tx = make_gpt_optimizer(self.base_lr, sched,
                                 accumulate=self.accumulate)
         params = model.params
-        specs = gpt_param_specs(params)
+        specs = gpt_param_specs(params, pipe=pp)
         params = place_params(self.mesh, params, specs)
-        opt = tx.init(params)
-        if self.zero1:
+        opt = tx.init(params)   # moments inherit the param shardings
+        if self.zero1 and not pp:
+            # under pp the block moments are already stage-sharded S ways;
+            # re-sharding them over 'data' would fight the pipe placement
             opt = place_params(self.mesh, opt, zero1_specs(opt, self.mesh))
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt=opt)
-        train_step = make_cond_transformer_train_step(model, tx)
+        train_step = make_cond_transformer_train_step(
+            model, tx, pp_mesh=self.mesh if pp else None,
+            pp_microbatches=self.microbatches)
         return state, train_step
 
     # -- fit ---------------------------------------------------------------------

@@ -42,6 +42,11 @@ def main() -> None:
     parser.add_argument("--zero1", action="store_true",
                         help="shard optimizer state over the data axis "
                              "(ZeRO-1 via GSPMD sharding annotations)")
+    parser.add_argument("-pp", "--pipeline_parallel", type=int, default=1,
+                        help="pipeline-parallel stages for the stage-2 "
+                             "prior (GPipe schedule over a 'pipe' mesh axis)")
+    parser.add_argument("--microbatches", type=int, default=8,
+                        help="GPipe microbatch count (with -pp > 1)")
     parser.add_argument("--sp", action="store_true",
                         help="sequence-parallel residual streams for the "
                              "stage-2 prior (needs a model axis, -mp > 1)")
@@ -87,7 +92,8 @@ def main() -> None:
     devices = jax.devices()
     if args.num_chips:
         devices = devices[: args.num_chips * max(args.num_nodes, 1)]
-    mesh = make_mesh(model=args.model_parallel, devices=devices)
+    mesh = make_mesh(model=args.model_parallel,
+                     pipe=args.pipeline_parallel, devices=devices)
 
     trainer = Trainer(max_epochs=args.epochs, base_lr=args.base_lr,
                       use_amp=args.use_amp,
@@ -98,7 +104,9 @@ def main() -> None:
                       split_gan_step=args.split_gan_step,
                       metrics_logger=wandb_logger,
                       zero1=args.zero1,
-                      sp=args.sp)
+                      sp=args.sp,
+                      pipeline_parallel=args.pipeline_parallel,
+                      microbatches=args.microbatches)
     trainer.fit(model, data)
 
 
