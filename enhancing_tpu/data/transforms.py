@@ -20,7 +20,18 @@ Image.MAX_IMAGE_PIXELS = None
 
 
 def load_image(path: str) -> np.ndarray:
-    """Decode to RGB uint8 HWC."""
+    """Decode to RGB uint8 HWC.
+
+    JPEG/PNG go through the native libjpeg/libpng decoder (native/
+    image_ops.cpp) when built; anything else (webp, corrupt headers)
+    falls back to PIL."""
+    from . import native
+    if native.has_decoders():
+        try:
+            with open(path, "rb") as f:
+                return native.decode_image(f.read())
+        except ValueError:
+            pass
     with Image.open(path) as img:
         return np.asarray(img.convert("RGB"))
 

@@ -18,8 +18,14 @@ def build(force: bool = False) -> Path:
             and LIB.stat().st_mtime >= SRC.stat().st_mtime:
         return LIB
     cmd = ["c++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(SRC), "-o", str(LIB)]
-    subprocess.run(cmd, check=True)
+           str(SRC), "-o", str(LIB), "-ljpeg", "-lpng", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True)
+    except subprocess.CalledProcessError:
+        # image without libjpeg/libpng dev files: build without decoders
+        # (has_decoders() then reports 0 and the loader stays on PIL)
+        cmd = [c for c in cmd if c not in ("-ljpeg", "-lpng")]
+        subprocess.run(cmd, check=True)
     return LIB
 
 

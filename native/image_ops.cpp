@@ -129,3 +129,295 @@ void u8_to_f32(const uint8_t* src, float* dst, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// In-memory JPEG/PNG decode (libjpeg / libpng — both system libs in this
+// image) and a persistent-thread-pool batch pipeline:
+// decode -> shorter-side bilinear resize -> crop -> flip -> normalize,
+// one worker per image. This replaces the loader's PIL decode (the
+// reference's data path is PIL + torchvision C extensions,
+// reference: enhancing/dataloader/imagenet.py:24-38); decode is the
+// dominant host-CPU cost when feeding a TPU from JPEG folders.
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdio>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+
+#if defined(__has_include)
+#  if __has_include(<jpeglib.h>)
+#    define HAVE_LIBJPEG 1
+#    include <jpeglib.h>
+#  endif
+#  if __has_include(<png.h>)
+#    define HAVE_LIBPNG 1
+#    include <png.h>
+#  endif
+#endif
+
+namespace {
+
+#ifdef HAVE_LIBJPEG
+struct JpegErr {
+    jpeg_error_mgr pub;
+    jmp_buf jmp;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+    JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+    longjmp(err->jmp, 1);
+}
+
+// RGB8 decode; returns false on corrupt data. out is resized internally.
+bool decode_jpeg_mem(const uint8_t* data, int64_t len,
+                     std::vector<uint8_t>* out, int64_t* h, int64_t* w) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.jmp)) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+                 static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    *h = cinfo.output_height;
+    *w = cinfo.output_width;
+    out->resize(*h * *w * 3);
+    const int64_t stride = *w * 3;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = out->data() + cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+}
+#endif  // HAVE_LIBJPEG
+
+#ifdef HAVE_LIBPNG
+struct PngReader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+    PngReader* r = static_cast<PngReader*>(png_get_io_ptr(png));
+    if (r->pos + static_cast<int64_t>(n) > r->len) {
+        png_error(png, "eof");
+        return;
+    }
+    std::memcpy(out, r->data + r->pos, n);
+    r->pos += n;
+}
+
+// RGB8 decode (alpha stripped, palette/gray expanded).
+bool decode_png_mem(const uint8_t* data, int64_t len,
+                    std::vector<uint8_t>* out, int64_t* h, int64_t* w) {
+    if (len < 8 || png_sig_cmp(data, 0, 8)) return false;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    if (!png) return false;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        return false;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    PngReader reader{data, len, 0};
+    png_set_read_fn(png, &reader, png_read_fn);
+    png_read_info(png, info);
+    png_set_expand(png);               // palette/gray/low-bit -> 8-bit
+    png_set_strip_16(png);
+    png_set_strip_alpha(png);
+    png_set_gray_to_rgb(png);
+    png_read_update_info(png, info);
+    *h = png_get_image_height(png, info);
+    *w = png_get_image_width(png, info);
+    if (png_get_rowbytes(png, info) != static_cast<size_t>(*w * 3)) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    out->resize(*h * *w * 3);
+    std::vector<png_bytep> rows(*h);
+    for (int64_t y = 0; y < *h; ++y) rows[y] = out->data() + y * *w * 3;
+    png_read_image(png, rows.data());
+    png_destroy_read_struct(&png, &info, nullptr);
+    return true;
+}
+#endif  // HAVE_LIBPNG
+
+bool decode_any(const uint8_t* data, int64_t len, std::vector<uint8_t>* out,
+                int64_t* h, int64_t* w) {
+#ifdef HAVE_LIBJPEG
+    if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+        return decode_jpeg_mem(data, len, out, h, w);
+#endif
+#ifdef HAVE_LIBPNG
+    if (len >= 8 && !png_sig_cmp(data, 0, 8))
+        return decode_png_mem(data, len, out, h, w);
+#endif
+    (void)data; (void)len; (void)out; (void)h; (void)w;
+    return false;
+}
+
+// Minimal persistent thread pool (lazy, sized to the host).
+class Pool {
+  public:
+    static Pool& get() {
+        // intentionally leaked: a static Pool's destructor would run at
+        // process exit while workers still wait on the condvar (destroying
+        // a joinable std::thread aborts; joining deadlocks). Workers are
+        // detached daemon threads; the OS reclaims them at exit.
+        static Pool* pool = new Pool();
+        return *pool;
+    }
+
+    void run(int64_t n, const std::function<void(int64_t)>& fn) {
+        if (n <= 1 || workers_.empty()) {
+            for (int64_t i = 0; i < n; ++i) fn(i);
+            return;
+        }
+        std::unique_lock<std::mutex> lk(m_);
+        fn_ = &fn;
+        next_ = 0;
+        total_ = n;
+        done_ = 0;
+        cv_.notify_all();
+        cv_done_.wait(lk, [&] { return done_ == total_; });
+        fn_ = nullptr;
+    }
+
+  private:
+    Pool() {
+        int n = static_cast<int>(std::thread::hardware_concurrency());
+        n = std::max(1, std::min(n - 2, 32));
+        for (int i = 0; i < n; ++i) {
+            workers_.emplace_back([this] { worker(); });
+            workers_.back().detach();
+        }
+    }
+
+    void worker() {
+        std::unique_lock<std::mutex> lk(m_);
+        for (;;) {
+            cv_.wait(lk, [&] { return fn_ && next_ < total_; });
+            while (fn_ && next_ < total_) {
+                const int64_t i = next_++;
+                const auto* fn = fn_;
+                lk.unlock();
+                (*fn)(i);
+                lk.lock();
+                if (++done_ == total_) cv_done_.notify_all();
+            }
+        }
+    }
+
+    std::vector<std::thread> workers_;
+    std::mutex m_;
+    std::condition_variable cv_, cv_done_;
+    const std::function<void(int64_t)>* fn_ = nullptr;
+    int64_t next_ = 0, total_ = 0, done_ = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+int has_decoders(void) {
+    int r = 0;
+#ifdef HAVE_LIBJPEG
+    r |= 1;
+#endif
+#ifdef HAVE_LIBPNG
+    r |= 2;
+#endif
+    return r;
+}
+
+// Decode into caller-provided storage. Two-phase: first call with dst=null
+// to get h/w, then with a (h*w*3) buffer. Returns 1 on success.
+int decode_image_dims(const uint8_t* data, int64_t len, int64_t* h,
+                      int64_t* w) {
+    std::vector<uint8_t> px;
+    // header-only parse would be nicer; full decode keeps the code small
+    // and the result is cached by the Python wrapper for the copy phase.
+    return decode_any(data, len, &px, h, w) ? 1 : 0;
+}
+
+int decode_image_u8(const uint8_t* data, int64_t len, uint8_t* dst,
+                    int64_t cap, int64_t* h, int64_t* w) {
+    std::vector<uint8_t> px;
+    if (!decode_any(data, len, &px, h, w)) return 0;
+    if (static_cast<int64_t>(px.size()) > cap) return 0;
+    std::memcpy(dst, px.data(), px.size());
+    return 1;
+}
+
+// Threaded batch pipeline: for each image i,
+//   decode(blob[i]) -> resize shorter side to resize_short (skipped when
+//   already <=) -> crop size x size at (tops[i], lefts[i]) (clamped) ->
+//   optional hflip -> float32 [0,1] into out[i].
+// ok[i] = 1 on success, 0 on corrupt/undecodable input (out[i] zeroed).
+void decode_pipeline_batch(int64_t n, const uint8_t** blobs,
+                           const int64_t* lens, int64_t resize_short,
+                           int64_t size, const int64_t* tops,
+                           const int64_t* lefts, const int* flips,
+                           float* out, int* ok) {
+    Pool::get().run(n, [&](int64_t i) {
+        float* dst = out + i * size * size * 3;
+        std::vector<uint8_t> px;
+        int64_t h = 0, w = 0;
+        if (!decode_any(blobs[i], lens[i], &px, &h, &w)) {
+            std::memset(dst, 0, size * size * 3 * sizeof(float));
+            ok[i] = 0;
+            return;
+        }
+        std::vector<uint8_t> resized;
+        const uint8_t* src = px.data();
+        int64_t sh = h, sw = w;
+        const int64_t shorter = std::min(h, w);
+        if (resize_short > 0 && shorter != resize_short) {
+            if (h < w) {
+                sh = resize_short;
+                sw = std::max<int64_t>(
+                    1, (w * resize_short + shorter / 2) / shorter);
+            } else {
+                sw = resize_short;
+                sh = std::max<int64_t>(
+                    1, (h * resize_short + shorter / 2) / shorter);
+            }
+            resized.resize(sh * sw * 3);
+            resize_bilinear_u8(px.data(), h, w, 3, resized.data(), sh, sw);
+            src = resized.data();
+        }
+        const int64_t top = std::max<int64_t>(
+            0, std::min(tops[i], sh - size));
+        const int64_t left = std::max<int64_t>(
+            0, std::min(lefts[i], sw - size));
+        if (sh < size || sw < size) {   // degenerate: pad-free guard
+            std::memset(dst, 0, size * size * 3 * sizeof(float));
+            ok[i] = 0;
+            return;
+        }
+        crop_flip_normalize(src, sh, sw, 3, top, left, size, flips[i], dst);
+        ok[i] = 1;
+    });
+}
+
+}  // extern "C"
