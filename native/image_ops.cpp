@@ -69,35 +69,64 @@ void resize_bilinear_u8(const uint8_t* src, int64_t sh, int64_t sw, int64_t c,
                         uint8_t* dst, int64_t dh, int64_t dw) {
     const FilterTable th = build_triangle(sh, dh);
     const FilterTable tw = build_triangle(sw, dw);
-    // horizontal pass into a float intermediate (sh x dw x c)
+    // horizontal pass into a float intermediate (sh x dw x c); c==3 fast
+    // path keeps the accumulators in registers
     std::vector<float> tmp(sh * dw * c);
     for (int64_t y = 0; y < sh; ++y) {
         const uint8_t* row = src + y * sw * c;
-        for (int64_t x = 0; x < dw; ++x) {
-            float* out = tmp.data() + (y * dw + x) * c;
-            std::memset(out, 0, c * sizeof(float));
-            const int64_t lo = tw.first[x];
-            for (int k = 0; k < tw.count[x]; ++k) {
-                const float w = tw.weights[x * tw.max_count + k];
-                const uint8_t* px = row + (lo + k) * c;
-                for (int64_t ch = 0; ch < c; ++ch) out[ch] += w * px[ch];
+        float* orow = tmp.data() + y * dw * c;
+        if (c == 3) {
+            for (int64_t x = 0; x < dw; ++x) {
+                const int64_t lo = tw.first[x];
+                const float* wp = &tw.weights[x * tw.max_count];
+                const int cnt = tw.count[x];
+                const uint8_t* px = row + lo * 3;
+                float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+                for (int k = 0; k < cnt; ++k, px += 3) {
+                    const float w = wp[k];
+                    a0 += w * px[0];
+                    a1 += w * px[1];
+                    a2 += w * px[2];
+                }
+                orow[x * 3 + 0] = a0;
+                orow[x * 3 + 1] = a1;
+                orow[x * 3 + 2] = a2;
+            }
+        } else {
+            for (int64_t x = 0; x < dw; ++x) {
+                float* out = orow + x * c;
+                std::memset(out, 0, c * sizeof(float));
+                const int64_t lo = tw.first[x];
+                for (int k = 0; k < tw.count[x]; ++k) {
+                    const float w = tw.weights[x * tw.max_count + k];
+                    const uint8_t* px = row + (lo + k) * c;
+                    for (int64_t ch = 0; ch < c; ++ch) out[ch] += w * px[ch];
+                }
             }
         }
     }
-    // vertical pass
+    // vertical pass as whole-row axpys (contiguous, vectorizes)
+    const int64_t rowlen = dw * c;
+    std::vector<float> acc(rowlen);
     for (int64_t y = 0; y < dh; ++y) {
         const int64_t lo = th.first[y];
-        for (int64_t x = 0; x < dw; ++x) {
-            uint8_t* out = dst + (y * dw + x) * c;
-            for (int64_t ch = 0; ch < c; ++ch) {
-                float acc = 0.0f;
-                for (int k = 0; k < th.count[y]; ++k) {
-                    const float w = th.weights[y * th.max_count + k];
-                    acc += w * tmp[((lo + k) * dw + x) * c + ch];
-                }
-                acc = std::max(0.0f, std::min(acc, 255.0f));
-                out[ch] = static_cast<uint8_t>(acc + 0.5f);
-            }
+        const int cnt = th.count[y];
+        const float* wp = &th.weights[y * th.max_count];
+        {
+            const float w = wp[0];
+            const float* trow = tmp.data() + lo * rowlen;
+            for (int64_t i = 0; i < rowlen; ++i) acc[i] = w * trow[i];
+        }
+        for (int k = 1; k < cnt; ++k) {
+            const float w = wp[k];
+            const float* trow = tmp.data() + (lo + k) * rowlen;
+            for (int64_t i = 0; i < rowlen; ++i) acc[i] += w * trow[i];
+        }
+        uint8_t* out = dst + y * rowlen;
+        for (int64_t i = 0; i < rowlen; ++i) {
+            float v = acc[i];
+            v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+            out[i] = static_cast<uint8_t>(v + 0.5f);
         }
     }
 }
@@ -172,9 +201,34 @@ void jpeg_error_exit(j_common_ptr cinfo) {
     longjmp(err->jmp, 1);
 }
 
-// RGB8 decode; returns false on corrupt data. out is resized internally.
-bool decode_jpeg_mem(const uint8_t* data, int64_t len,
-                     std::vector<uint8_t>* out, int64_t* h, int64_t* w) {
+// Header-only probe: dims without decoding pixel data.
+bool jpeg_header_dims(const uint8_t* data, int64_t len, int64_t* h,
+                      int64_t* w) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.jmp)) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+                 static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+}
+
+// RGB8 decode writing scanlines straight into dst (cap = h*w*3 from the
+// header probe); single decode pass, no intermediate buffer.
+bool decode_jpeg_into(const uint8_t* data, int64_t len, uint8_t* dst,
+                      int64_t cap, int64_t* h, int64_t* w) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
@@ -194,15 +248,26 @@ bool decode_jpeg_mem(const uint8_t* data, int64_t len,
     jpeg_start_decompress(&cinfo);
     *h = cinfo.output_height;
     *w = cinfo.output_width;
-    out->resize(*h * *w * 3);
     const int64_t stride = *w * 3;
+    if (*h * stride > cap) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
     while (cinfo.output_scanline < cinfo.output_height) {
-        uint8_t* row = out->data() + cinfo.output_scanline * stride;
+        uint8_t* row = dst + cinfo.output_scanline * stride;
         jpeg_read_scanlines(&cinfo, &row, 1);
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return true;
+}
+
+bool decode_jpeg_mem(const uint8_t* data, int64_t len,
+                     std::vector<uint8_t>* out, int64_t* h, int64_t* w) {
+    if (!jpeg_header_dims(data, len, h, w)) return false;
+    out->resize(*h * *w * 3);
+    return decode_jpeg_into(data, len, out->data(),
+                            static_cast<int64_t>(out->size()), h, w);
 }
 #endif  // HAVE_LIBJPEG
 
@@ -223,9 +288,34 @@ void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
     r->pos += n;
 }
 
-// RGB8 decode (alpha stripped, palette/gray expanded).
-bool decode_png_mem(const uint8_t* data, int64_t len,
-                    std::vector<uint8_t>* out, int64_t* h, int64_t* w) {
+// Header-only probe.
+bool png_header_dims(const uint8_t* data, int64_t len, int64_t* h,
+                     int64_t* w) {
+    if (len < 8 || png_sig_cmp(data, 0, 8)) return false;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    if (!png) return false;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        return false;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    PngReader reader{data, len, 0};
+    png_set_read_fn(png, &reader, png_read_fn);
+    png_read_info(png, info);
+    *h = png_get_image_height(png, info);
+    *w = png_get_image_width(png, info);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return true;
+}
+
+// RGB8 decode into dst (alpha stripped, palette/gray expanded).
+bool decode_png_into(const uint8_t* data, int64_t len, uint8_t* dst,
+                     int64_t cap, int64_t* h, int64_t* w) {
     if (len < 8 || png_sig_cmp(data, 0, 8)) return false;
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                              nullptr, nullptr);
@@ -249,16 +339,26 @@ bool decode_png_mem(const uint8_t* data, int64_t len,
     png_read_update_info(png, info);
     *h = png_get_image_height(png, info);
     *w = png_get_image_width(png, info);
-    if (png_get_rowbytes(png, info) != static_cast<size_t>(*w * 3)) {
+    if (png_get_rowbytes(png, info) != static_cast<size_t>(*w * 3)
+            || *h * *w * 3 > cap) {
         png_destroy_read_struct(&png, &info, nullptr);
         return false;
     }
-    out->resize(*h * *w * 3);
     std::vector<png_bytep> rows(*h);
-    for (int64_t y = 0; y < *h; ++y) rows[y] = out->data() + y * *w * 3;
+    for (int64_t y = 0; y < *h; ++y) rows[y] = dst + y * *w * 3;
     png_read_image(png, rows.data());
     png_destroy_read_struct(&png, &info, nullptr);
     return true;
+}
+
+bool decode_png_mem(const uint8_t* data, int64_t len,
+                    std::vector<uint8_t>* out, int64_t* h, int64_t* w) {
+    int64_t ph = 0, pw = 0;
+    if (!png_header_dims(data, len, &ph, &pw)) return false;
+    // expanded output is h*w*3 regardless of source channels
+    out->resize(ph * pw * 3);
+    return decode_png_into(data, len, out->data(),
+                           static_cast<int64_t>(out->size()), h, w);
 }
 #endif  // HAVE_LIBPNG
 
@@ -350,23 +450,33 @@ int has_decoders(void) {
     return r;
 }
 
-// Decode into caller-provided storage. Two-phase: first call with dst=null
-// to get h/w, then with a (h*w*3) buffer. Returns 1 on success.
+// Two-phase decode into caller-provided storage: decode_image_dims is a
+// HEADER-ONLY probe (no pixel decode); decode_image_u8 is the single full
+// decode straight into the caller's (h*w*3) buffer. Returns 1 on success.
 int decode_image_dims(const uint8_t* data, int64_t len, int64_t* h,
                       int64_t* w) {
-    std::vector<uint8_t> px;
-    // header-only parse would be nicer; full decode keeps the code small
-    // and the result is cached by the Python wrapper for the copy phase.
-    return decode_any(data, len, &px, h, w) ? 1 : 0;
+#ifdef HAVE_LIBJPEG
+    if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+        return jpeg_header_dims(data, len, h, w) ? 1 : 0;
+#endif
+#ifdef HAVE_LIBPNG
+    if (len >= 8 && !png_sig_cmp(data, 0, 8))
+        return png_header_dims(data, len, h, w) ? 1 : 0;
+#endif
+    return 0;
 }
 
 int decode_image_u8(const uint8_t* data, int64_t len, uint8_t* dst,
                     int64_t cap, int64_t* h, int64_t* w) {
-    std::vector<uint8_t> px;
-    if (!decode_any(data, len, &px, h, w)) return 0;
-    if (static_cast<int64_t>(px.size()) > cap) return 0;
-    std::memcpy(dst, px.data(), px.size());
-    return 1;
+#ifdef HAVE_LIBJPEG
+    if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+        return decode_jpeg_into(data, len, dst, cap, h, w) ? 1 : 0;
+#endif
+#ifdef HAVE_LIBPNG
+    if (len >= 8 && !png_sig_cmp(data, 0, 8))
+        return decode_png_into(data, len, dst, cap, h, w) ? 1 : 0;
+#endif
+    return 0;
 }
 
 // Threaded batch pipeline: for each image i,
