@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import decode_attention, multihead_attention_bnhd
+from ...ops.cache import cache_row_update
 
 normal_init = nn.initializers.normal(stddev=0.02)
 
@@ -330,8 +331,11 @@ class GPT(nn.Module):
     def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
         dtype = dtype or self.dtype
         # packed head layout: (L, B, ctx, H*hd) — contiguous 128-lane slabs
-        # for the Pallas decode kernel, contiguous one-row cache writes
-        shape = (self.n_layers, batch, self.ctx_len, self.embed_dim)
+        # for the Pallas decode kernel, contiguous one-row cache writes.
+        # ctx padded to a sublane multiple for the in-place row-write
+        # kernel (ops/cache.py); rows >= cur_len are never read.
+        ctx_pad = -(-self.ctx_len // 8) * 8
+        shape = (self.n_layers, batch, ctx_pad, self.embed_dim)
         return {
             "k": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype),
@@ -376,11 +380,12 @@ class GPT(nn.Module):
             k_news = jnp.stack(k_cols)
             v_news = jnp.stack(v_cols)
             s_all = jnp.stack(s_cols).astype(s_all.dtype)
-        # single in-place row write per stack (L, B, ctx, C)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_news.astype(k_all.dtype), (0, 0, cur_len, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_news.astype(v_all.dtype), (0, 0, cur_len, 0))
+        # single in-place row write per stack (L, B, ctx, C) through the
+        # aliased Pallas kernel — a dynamic_update_slice here lets XLA pick
+        # a while-carry layout that clashes with the decode custom call and
+        # costs 4 full-cache layout copies per token (ops/cache.py)
+        k_all = cache_row_update(k_all, k_news, cur_len)
+        v_all = cache_row_update(v_all, v_news, cur_len)
         return x, {"k": k_all, "v": v_all, "shift": s_all}
 
     def prefill(self, conds: jax.Array, cache: Dict[str, jax.Array]
@@ -530,8 +535,9 @@ class RQTransformer(nn.Module):
 
     def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
         dtype = dtype or self.dtype
-        # packed head layout (see GPT.init_cache)
-        shape_s = (self.spatial_n_layers, batch, self.ctx_len, self.embed_dim)
+        # packed head layout, ctx sublane-padded (see GPT.init_cache)
+        ctx_pad = -(-self.ctx_len // 8) * 8
+        shape_s = (self.spatial_n_layers, batch, ctx_pad, self.embed_dim)
         return {
             "k": jnp.zeros(shape_s, dtype),
             "v": jnp.zeros(shape_s, dtype),
@@ -580,10 +586,8 @@ class RQTransformer(nn.Module):
             k_news = jnp.stack(k_cols)
             v_news = jnp.stack(v_cols)
             s_all = jnp.stack(s_cols).astype(s_all.dtype)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_news.astype(k_all.dtype), (0, 0, cur_len, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_news.astype(v_all.dtype), (0, 0, cur_len, 0))
+        k_all = cache_row_update(k_all, k_news, cur_len)
+        v_all = cache_row_update(v_all, v_news, cur_len)
         x = self.ln_spatial(x)
         return x[:, -1], {"k": k_all, "v": v_all, "shift": s_all}
 

@@ -248,3 +248,32 @@ def test_attention_packed_kchunk_matches_whole_row(rng, mode, cl):
     chunked = att._attention_packed_call(q, k, v, mode, cl, d, k_chunk=32)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cur", [0, 5, 7, 8, 15])
+def test_cache_row_update_matches_dus(rng, cur):
+    """In-place Pallas row write == dynamic_update_slice (interpret mode)."""
+    import os
+
+    from enhancing_tpu.ops.cache import _cache_row_update_pallas
+
+    os.environ["ENHANCING_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        cache = jnp.asarray(rng.standard_normal((2, 3, 16, 128)), jnp.float32)
+        news = jnp.asarray(rng.standard_normal((2, 3, 1, 128)), jnp.float32)
+        want = jax.lax.dynamic_update_slice(cache, news, (0, 0, cur, 0))
+        got = _cache_row_update_pallas(cache, news, jnp.int32(cur))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        os.environ.pop("ENHANCING_TPU_PALLAS_INTERPRET", None)
+
+
+def test_cache_row_update_fallback_unpadded(rng):
+    """Non-sublane-aligned ctx uses the XLA fallback and stays correct."""
+    from enhancing_tpu.ops.cache import cache_row_update
+
+    cache = jnp.asarray(rng.standard_normal((2, 2, 13, 64)), jnp.float32)
+    news = jnp.asarray(rng.standard_normal((2, 2, 1, 64)), jnp.float32)
+    got = cache_row_update(cache, news, jnp.int32(11))
+    want = jax.lax.dynamic_update_slice(cache, news, (0, 0, 11, 0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
