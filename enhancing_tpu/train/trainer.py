@@ -47,7 +47,8 @@ class Trainer:
                  zero1: bool = False,
                  sp: bool = False,
                  pipeline_parallel: int = 1,
-                 microbatches: int = 8) -> None:
+                 microbatches: int = 8,
+                 resume: bool = False) -> None:
         self.max_epochs = max_epochs
         self.base_lr = base_lr
         self.use_amp = use_amp
@@ -68,6 +69,10 @@ class Trainer:
         self.sp = sp
         # GPipe microbatch count when the mesh has a 'pipe' axis
         self.microbatches = microbatches
+        # auto-resume from the latest checkpoint in basedir (preemption
+        # recovery; the optimizer step rides the train state so
+        # global_step restores exactly)
+        self.resume = resume
         self.global_step = 0
         self._ckpt_mgr = None
         if self.basedir is not None:
@@ -179,12 +184,14 @@ class Trainer:
 
     def _fit_stage1(self, model: ViTVQ, data) -> None:
         state, train_step, eval_step = self._build_stage1(model)
+        state, start_epoch = self._maybe_resume(state)
+        model.params = state.ae_params
         rng = jax.random.PRNGKey(self.seed)
         do_r1_every = getattr(model.loss, "do_r1_every", 0)
         image_loggers = [cb for cb in self.callbacks
                          if isinstance(cb, ImageLogger)]
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             for batch_idx, batch in enumerate(data.train_dataloader()):
                 x = self._shard(_as_nhwc(jnp.asarray(
                     batch[model.image_key], jnp.float32)))
@@ -234,9 +241,11 @@ class Trainer:
 
     def _fit_stage2(self, model: CondTransformer, data) -> None:
         state, train_step = self._build_stage2(model)
+        state, start_epoch = self._maybe_resume(state)
+        model.params = state.params
         image_loggers = [cb for cb in self.callbacks
                          if isinstance(cb, ImageLogger)]
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             for batch_idx, batch in enumerate(data.train_dataloader()):
                 images = self._shard(_as_nhwc(jnp.asarray(
                     batch[model.stage1_model.image_key], jnp.float32)))
@@ -308,3 +317,19 @@ class Trainer:
         step = step if step is not None else self._ckpt_mgr.latest_step()
         return self._ckpt_mgr.restore(
             step, args=ocp.args.StandardRestore(state))
+
+    def _maybe_resume(self, state):
+        """Preemption recovery: restore the newest checkpoint in basedir
+        and continue from the epoch after it. The optimizer step counter
+        rides the train state, so ``global_step`` restores exactly."""
+        if not self.resume or self._ckpt_mgr is None:
+            return state, 0
+        latest = self._ckpt_mgr.latest_step()
+        if latest is None:
+            return state, 0
+        state = self.restore(state, latest)
+        self.global_step = int(state.step)
+        if is_main_process():
+            print(f"[resume] epoch-{latest} checkpoint restored "
+                  f"(global step {self.global_step})", flush=True)
+        return state, latest + 1

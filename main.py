@@ -47,6 +47,14 @@ def main() -> None:
                              "prior (GPipe schedule over a 'pipe' mesh axis)")
     parser.add_argument("--microbatches", type=int, default=8,
                         help="GPipe microbatch count (with -pp > 1)")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume from the latest checkpoint in "
+                             "the run directory (preemption recovery); "
+                             "without --run_dir, reuses the newest existing "
+                             "run for this config")
+    parser.add_argument("--run_dir", type=str, default=None,
+                        help="explicit experiment directory (default: a new "
+                             "timestamped one under experiments/<config>)")
     parser.add_argument("--sp", action="store_true",
                         help="sequence-parallel residual streams for the "
                              "stage-2 prior (needs a model axis, -mp > 1)")
@@ -79,7 +87,13 @@ def main() -> None:
     model = initialize_from_config(config.model)
 
     now = datetime.now().strftime("%d%m%Y_%H%M%S")
-    basedir = Path("experiments") / args.config / now
+    if args.run_dir is not None:
+        basedir = Path(args.run_dir)
+    elif args.resume:
+        runs = sorted((Path("experiments") / args.config).glob("*"))
+        basedir = runs[-1] if runs else Path("experiments") / args.config / now
+    else:
+        basedir = Path("experiments") / args.config / now
     setup_cb = SetupCallback(config.to_dict(), exp_config, basedir)
     wandb_logger = WandbLogger(str(basedir), f"{args.config}_{now}",
                                enabled=True)
@@ -106,7 +120,8 @@ def main() -> None:
                       zero1=args.zero1,
                       sp=args.sp,
                       pipeline_parallel=args.pipeline_parallel,
-                      microbatches=args.microbatches)
+                      microbatches=args.microbatches,
+                      resume=args.resume)
     trainer.fit(model, data)
 
 

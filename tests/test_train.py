@@ -266,3 +266,42 @@ def test_validation_images_and_metrics_logged(tmp_path):
     assert val_dir.is_dir() and list(val_dir.glob("*.png"))
     assert any(tag.startswith("val/") for tag, _ in rec.images)
     assert any("val/rec_loss" in m for _, m in rec.metrics)
+
+
+def test_auto_resume_continues_from_checkpoint(tmp_path):
+    """Trainer(resume=True) restores the newest checkpoint, recovers
+    global_step from the train-state counter, and the resumed run's params
+    differ from the checkpoint (training actually continued)."""
+    def build_model():
+        return ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                     quantizer=Q,
+                     loss={"target":
+                           "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                           "params": {"image_size": 32,
+                                      "perceptual_weight": 0.0}})
+
+    data = build_data()
+    m1 = build_model()
+    t1 = Trainer(max_epochs=1, base_lr=3e-4, basedir=str(tmp_path),
+                 log_every=1000)
+    t1.fit(m1, data)
+    ckpt_params = jax.tree.map(np.asarray, m1.params)
+    assert t1.global_step == 4  # 32 samples / batch 8
+
+    m2 = build_model()
+    t2 = Trainer(max_epochs=2, base_lr=3e-4, basedir=str(tmp_path),
+                 log_every=1000, resume=True)
+    t2.fit(m2, data)
+    assert t2.global_step == 8  # resumed at 4, one more epoch
+    # params moved on from the restored checkpoint
+    diffs = [float(np.abs(a - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(ckpt_params),
+                             jax.tree.leaves(m2.params))]
+    assert max(diffs) > 0
+
+    # resume with nothing newer is a no-op fit (start_epoch == max_epochs)
+    m3 = build_model()
+    t3 = Trainer(max_epochs=2, base_lr=3e-4, basedir=str(tmp_path),
+                 log_every=1000, resume=True)
+    t3.fit(m3, data)
+    assert t3.global_step == 8
