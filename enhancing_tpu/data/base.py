@@ -108,8 +108,14 @@ class DataLoader:
                 except queue.Empty:
                     return
                 try:
-                    samples = [self.dataset[j] for j in b]
-                    done.put((i, _stack(samples)))
+                    # datasets may provide a whole-batch fast path (e.g. the
+                    # native C++ decode->resize->crop pipeline in
+                    # classimage.py); fall back to per-sample assembly
+                    if hasattr(self.dataset, "get_batch"):
+                        done.put((i, self.dataset.get_batch(b)))
+                    else:
+                        samples = [self.dataset[j] for j in b]
+                        done.put((i, _stack(samples)))
                 except Exception as e:  # surface in the consumer
                     done.put((i, e))
 

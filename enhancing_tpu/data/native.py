@@ -151,3 +151,17 @@ def decode_pipeline_batch(blobs, resize_short: int, size: int,
         flips_arr.ctypes.data_as(intp), _f32ptr(out),
         ok.ctypes.data_as(intp))
     return out, ok.astype(bool)
+
+
+def decode_dims(data: bytes):
+    """Header-only (h, w) probe via the native lib; None if undecodable."""
+    import ctypes
+    lib = get_lib()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    if not lib.decode_image_dims(_u8ptr(buf), len(data),
+                                 ctypes.byref(h), ctypes.byref(w)):
+        return None
+    return int(h.value), int(w.value)
