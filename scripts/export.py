@@ -34,7 +34,7 @@ def main() -> None:
                                      initialize_from_config)
     from enhancing_tpu.utils.export import export_sampler, export_tokenizer
 
-    cfg = get_config_from_file(args.config)
+    cfg = get_config_from_file(Path("configs") / f"{args.config}.yaml")
     model = initialize_from_config(cfg.model)
     if args.ckpt:
         model.init_from_ckpt(args.ckpt)
