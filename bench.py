@@ -26,6 +26,8 @@ BASELINE_IMG_PER_SEC = 10_000.0
 
 
 def main() -> None:
+    from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
+    maybe_enable_from_env()
     import jax
     import jax.numpy as jnp
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ

@@ -58,11 +58,22 @@ def main() -> None:
     parser.add_argument("--sp", action="store_true",
                         help="sequence-parallel residual streams for the "
                              "stage-2 prior (needs a model axis, -mp > 1)")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation-cache directory "
+                             "(reruns/restarts skip recompiles); also via "
+                             "ENHANCING_TPU_COMPILE_CACHE")
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
 
     set_seed(args.seed)
+
+    from enhancing_tpu.utils.compile_cache import (enable_compilation_cache,
+                                                   maybe_enable_from_env)
+    if args.compile_cache:
+        enable_compilation_cache(args.compile_cache)
+    else:
+        maybe_enable_from_env()
 
     from enhancing_tpu.parallel import init_distributed, make_mesh
     init_distributed(args.coordinator, args.num_nodes, args.process_id)

@@ -114,6 +114,9 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
 
+    from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()
     from enhancing_tpu.utils.export import load_artifact
 
     sample_fn = load_artifact(args.artifact)

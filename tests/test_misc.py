@@ -105,3 +105,37 @@ def test_step_timer():
         t.tick()
     assert t.steps_per_sec > 0
     assert "images/s" in t.summary()
+
+
+def test_compilation_cache_round_trip(tmp_path):
+    """enable_compilation_cache writes reusable executables to disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from enhancing_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(tmp_path)
+    try:
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x) @ x.T
+
+        f(jnp.ones((16, 16))).block_until_ready()
+        assert any(tmp_path.iterdir()), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_compile_cache_env_gate(tmp_path, monkeypatch):
+    import jax
+
+    from enhancing_tpu.utils.compile_cache import (ENV_VAR,
+                                                   maybe_enable_from_env)
+
+    monkeypatch.delenv(ENV_VAR, raising=False)
+    assert maybe_enable_from_env() is None
+    monkeypatch.setenv(ENV_VAR, str(tmp_path))
+    try:
+        assert maybe_enable_from_env() == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
