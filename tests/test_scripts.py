@@ -70,3 +70,39 @@ def test_export_script_end_to_end(tmp_path, monkeypatch, capsys):
 
     codes = enc(jnp.zeros((2, 32, 32, 3), jnp.float32))
     assert codes.shape[0] == 2
+
+
+def test_main_cli_stage2_with_parallel_flags(tmp_path, monkeypatch):
+    """main.py trains the synthetic stage-2 config end-to-end with
+    tp + sequence-parallel + ZeRO-1 flags on the virtual mesh."""
+    monkeypatch.chdir(ROOT)
+    spec = importlib.util.spec_from_file_location("main_cli", ROOT / "main.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ["main.py", "-c", "fake_gpt_tiny", "-e", "1",
+                "--max_steps", "2", "-mp", "2", "--sp", "--zero1",
+                "--run_dir", str(tmp_path / "run")]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    assert (tmp_path / "run" / "ckpt").is_dir()
+
+
+def test_main_cli_stage2_pipeline_parallel(tmp_path, monkeypatch):
+    """main.py -pp 2: GPipe pipeline training through the CLI."""
+    monkeypatch.chdir(ROOT)
+    spec = importlib.util.spec_from_file_location("main_cli2",
+                                                  ROOT / "main.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ["main.py", "-c", "fake_gpt_tiny", "-e", "1",
+                "--max_steps", "2", "-pp", "2", "--microbatches", "2",
+                "--run_dir", str(tmp_path / "run")]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    assert (tmp_path / "run" / "ckpt").is_dir()
