@@ -106,3 +106,16 @@ def test_main_cli_stage2_pipeline_parallel(tmp_path, monkeypatch):
     finally:
         sys.argv = old
     assert (tmp_path / "run" / "ckpt").is_dir()
+
+
+def test_eval_samples_script_end_to_end(capsys, monkeypatch):
+    """scripts/eval_samples.py: full conditional sampling + Frechet vs
+    dataset images on the synthetic stage-2 config."""
+    monkeypatch.chdir(ROOT)
+    _run_script("eval_samples.py",
+                ["-c", "fake_gpt_tiny", "--num_samples", "8",
+                 "--batch", "8", "--top_k", "8"])
+    out = capsys.readouterr().out
+    result = json.loads(out[out.index("{"):])
+    assert result["num_samples"] == 8
+    assert np.isfinite(result["frechet_distance"])
