@@ -212,27 +212,35 @@ LANES = 128
 
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
                         cond_len: int, block_q: int, heads_per_slab: int,
-                        head_dim: int, k_chunk: int = 0):
+                        head_dim: int, k_chunk: int = 0,
+                        m_valid: int | None = None):
     """``k_chunk``: 0 = whole-row softmax over all M keys at once;
-    > 0 = online (flash-style) softmax over M//k_chunk unrolled key chunks,
-    giving Mosaic's scheduler independent MXU/VPU work to overlap (chunk
-    i+1's score matmul can run while chunk i's exp/rescale is on the VPU)."""
+    > 0 = online (flash-style) softmax over key chunks. For
+    ``prefix_causal`` the chunk loop is a dynamic-bound ``fori_loop`` that
+    stops after the chunk containing this q-block's diagonal — fully-masked
+    key chunks are never computed (the whole-row path computes and masks
+    them, doubling the score work). ``m_valid``: true key count when the
+    caller padded M up to a chunk multiple (padding columns are masked)."""
     qi = pl.program_id(2)
     q = q_ref[0]                               # (bq, 128) bf16, pre-scaled
-    k_all = k_ref[0]                           # (M, 128)
-    v_all = v_ref[0]
-    m_tot = k_all.shape[0]
+    m_tot = k_ref.shape[1]
+    if m_valid is None:
+        m_valid = m_tot
 
     def scores(qh, k, col0):
         s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + qi * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
         if mask_mode == "prefix_causal":
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
-                + qi * block_q
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
             allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
-            s = jnp.where(allowed, s, NEG_INF)
-        return s
+        else:
+            allowed = jnp.ones(s.shape, jnp.bool_)
+        if m_valid != m_tot:
+            allowed = allowed & (cols < m_valid)
+        return jnp.where(allowed, s, NEG_INF) \
+            if (mask_mode == "prefix_causal" or m_valid != m_tot) else s
 
     if heads_per_slab == 1:                       # one D=128 head per slab
         q_heads = (q,)
@@ -244,6 +252,8 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
     outs = []
     for qh in q_heads:
         if not k_chunk or k_chunk >= m_tot:
+            k_all = k_ref[0]                   # (M, 128)
+            v_all = v_ref[0]
             s = scores(qh, k_all, 0)
             mx = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - mx)
@@ -251,22 +261,35 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
             o = jnp.dot(e.astype(v_all.dtype), v_all,
                         preferred_element_type=jnp.float32) * r
         else:
-            mx = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-            l = jnp.zeros((block_q, 1), jnp.float32)
-            o = jnp.zeros((block_q, LANES), jnp.float32)
-            for c in range(cdiv(m_tot, k_chunk)):
-                kc = k_all[c * k_chunk:(c + 1) * k_chunk]
-                vc = v_all[c * k_chunk:(c + 1) * k_chunk]
-                s = scores(qh, kc, c * k_chunk)
+            assert m_tot % k_chunk == 0, (m_tot, k_chunk)
+
+            def chunk_body(c, carry):
+                mx, l, o = carry
+                start = c * k_chunk
+                kc = k_ref[0, pl.ds(start, k_chunk), :]
+                vc = v_ref[0, pl.ds(start, k_chunk), :]
+                s = scores(qh, kc, start)
                 m_new = jnp.maximum(mx, jnp.max(s, axis=-1, keepdims=True))
                 alpha = jnp.exp(mx - m_new)
                 e = jnp.exp(s - m_new)
-                l = l * alpha + jnp.sum(e, axis=-1, keepdims=True)
+                l_new = l * alpha + jnp.sum(e, axis=-1, keepdims=True)
                 pv = jax.lax.dot_general(e.astype(vc.dtype), vc,
                                          (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                o = o * alpha + pv
-                mx = m_new
+                return m_new, l_new, o * alpha + pv
+
+            n_chunks = m_tot // k_chunk
+            if mask_mode == "prefix_causal":
+                # last chunk any row of this block may see (diagonal)
+                row_max = qi * block_q + (block_q - 1)
+                live = jnp.minimum(n_chunks, row_max // k_chunk + 1)
+            else:
+                live = n_chunks
+            mx, l, o = jax.lax.fori_loop(
+                0, live, chunk_body,
+                (jnp.full((block_q, 1), NEG_INF, jnp.float32),
+                 jnp.zeros((block_q, 1), jnp.float32),
+                 jnp.zeros((block_q, LANES), jnp.float32)))
             o = o / l
         outs.append(o)
 
@@ -302,12 +325,27 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
     n_heads = hd // head_dim
     if k_chunk is None:
         k_chunk = int(os.environ.get("ENHANCING_TPU_ATTN_KCHUNK", "0"))
+        # Measured and rejected as the causal default: a dynamic-bound chunk
+        # loop that stops at the diagonal halves the score FLOPs, but at
+        # B8/H16/N1025 it ran 2.51 ms vs 2.19 ms whole-row — the serial
+        # ref-sliced loop defeats Mosaic's matmul pipelining and the k/v
+        # block is DMA'd whole either way. Kept as the opt-in
+        # ENHANCING_TPU_ATTN_KCHUNK path (now with causal-skip + padding).
+
+    m_valid = m
+    if k_chunk and k_chunk < m and m % k_chunk:
+        # dynamic-bound chunk loops need whole chunks: pad keys/values and
+        # mask the padding columns in-kernel (one-time ~MB-scale copy)
+        m_pad = cdiv(m, k_chunk) * k_chunk
+        k3 = jnp.pad(k3, ((0, 0), (0, m_pad - m), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, m_pad - m), (0, 0)))
+        m = m_pad
 
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, mask_mode=mask_mode,
                           cond_len=cond_len, block_q=block_q,
                           heads_per_slab=heads_per_slab, head_dim=head_dim,
-                          k_chunk=k_chunk),
+                          k_chunk=k_chunk, m_valid=m_valid),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
         grid=grid,
         in_specs=[
