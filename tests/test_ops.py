@@ -277,3 +277,18 @@ def test_cache_row_update_fallback_unpadded(rng):
     got = cache_row_update(cache, news, jnp.int32(11))
     want = jax.lax.dynamic_update_slice(cache, news, (0, 0, 11, 0))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("b,n,hd,d,cl", [(2, 160, 256, 64, 3),
+                                         (1, 130, 128, 128, 1)])
+def test_attention_gridchunk_matches_xla(rng, b, n, hd, d, cl):
+    """Grid-level k-chunked causal forward (clamped dead-chunk DMAs,
+    pl.when-gated compute, scratch online softmax) == XLA reference,
+    including non-chunk-multiple key counts via padding."""
+    q = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32) * 0.1
+    k = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    out = att._attention_packed_gridchunk_call(q, k, v, "prefix_causal", cl,
+                                               d, block_q=64, k_chunk=64)
+    want = att._attention_xla_packed(q, k, v, "prefix_causal", cl, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-5)
