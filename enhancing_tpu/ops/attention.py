@@ -280,9 +280,12 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
 
             n_chunks = m_tot // k_chunk
             if mask_mode == "prefix_causal":
-                # last chunk any row of this block may see (diagonal)
+                # last chunk any row of this block may see: the diagonal —
+                # OR cond_len-1, since prefix rows (< cond_len) also attend
+                # cond columns PAST their own diagonal
                 row_max = qi * block_q + (block_q - 1)
-                live = jnp.minimum(n_chunks, row_max // k_chunk + 1)
+                eff_max = jnp.maximum(row_max, cond_len - 1)
+                live = jnp.minimum(n_chunks, eff_max // k_chunk + 1)
             else:
                 live = n_chunks
             mx, l, o = jax.lax.fori_loop(
@@ -324,8 +327,10 @@ def _attn_kernel_packed_gridchunk(q_ref, k_ref, v_ref, o_ref, m_acc, l_acc,
     jq = pl.program_id(2)
     jk = pl.program_id(3)
     nk = pl.num_programs(3)
-    row_max = jq * block_q + (block_q - 1)
-    live = jk * k_chunk <= row_max          # chunk intersects the diagonal
+    # prefix rows (< cond_len) attend cond columns past their diagonal, so
+    # chunks up to max(diagonal, cond_len-1) are live
+    row_max = jnp.maximum(jq * block_q + (block_q - 1), cond_len - 1)
+    live = jk * k_chunk <= row_max          # chunk intersects diagonal/prefix
 
     @pl.when(jk == 0)
     def _init():
@@ -404,8 +409,9 @@ def _attention_packed_gridchunk_call(q3, k3, v3, mask_mode, cond_len,
 
     def k_index(i, s, jq, jk):
         # clamp dead chunks to this q-block's last live chunk: consecutive
-        # grid steps then address the same block and the DMA is elided
-        row_max = jq * block_q + (block_q - 1)
+        # grid steps then address the same block and the DMA is elided.
+        # Prefix rows see cond columns past the diagonal (hence cond_len-1).
+        row_max = jnp.maximum(jq * block_q + (block_q - 1), cond_len - 1)
         live_last = jnp.minimum(row_max // k_chunk, nk - 1)
         return (i, jnp.minimum(jk, live_last), s)
 
@@ -453,7 +459,8 @@ def _packed_block_q(n: int, m: int, heads_per_slab: int) -> int:
 
 
 def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
-                           k_chunk: int | None = None):
+                           k_chunk: int | None = None,
+                           block_q: int | None = None):
     """q3, k3, v3: (B, N, H*D) with H*D % 128 == 0 and D in {64, 128}.
     q3 must already carry the softmax scale."""
     import os
@@ -461,7 +468,9 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
     m = k3.shape[1]
     heads_per_slab = LANES // head_dim
     slabs = hd // LANES
-    block_q = _packed_block_q(n, m, heads_per_slab)
+    if block_q is None:
+        block_q = _packed_block_q(n, m, heads_per_slab)
+    block_q = min(block_q, n)
     grid = (b, slabs, cdiv(n, block_q))
     n_heads = hd // head_dim
     if k_chunk is None:

@@ -92,11 +92,43 @@ def partitioned(impl_fn: Callable, rule: str, *,
 
         return mesh, lower_fn, result_shardings, arg_shardings
 
+    # Parse the rule: factor lists per input/output operand, and each
+    # factor's first appearance among the inputs (its sharding source).
+    _ins, _outs = rule.split("->")
+    in_factors = [s.split() for s in _ins.split(",")]
+    out_factors = [s.split() for s in _outs.split(",")]
+    factor_src: dict = {}
+    for _oi, _fs in enumerate(in_factors):
+        for _di, _f in enumerate(_fs):
+            factor_src.setdefault(_f, (_oi, _di))
+
     def infer_sharding_from_operands(*args):
-        # GSPMD (non-Shardy) fallback: result follows the first operand.
+        # GSPMD (non-Shardy) fallback. Results can change rank vs the
+        # operands (vq 'm d, n d -> m', upfirdn2d 'b h w c -> b i j c'), so
+        # copying the first operand's sharding verbatim would mis-rank:
+        # instead, map each OUTPUT factor back to the input dim it came
+        # from (replicating need_replication factors and output-only
+        # factors), mirroring what the Shardy rule would propagate.
         *static, mesh, arg_shapes, result_shape = args
-        first = jax.tree.leaves(arg_shapes)[0].sharding
-        return jax.tree.map(lambda _: first, result_shape)
+        leaves = jax.tree.leaves(arg_shapes)
+
+        def axis_for(f):
+            if f in need_replication or f not in factor_src:
+                return None
+            oi, di = factor_src[f]
+            spec = getattr(leaves[oi].sharding, "spec", None)
+            if spec is None:
+                return None
+            return spec[di] if di < len(spec) else None
+
+        outs = iter(out_factors)
+
+        def result_sharding(_):
+            fs = next(outs)
+            return jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(*[axis_for(f) for f in fs]))
+
+        return jax.tree.map(result_sharding, result_shape)
 
     # Shardy numbers factors by first appearance in the rule and requires
     # special-factor lists sorted by that index.

@@ -101,7 +101,10 @@ def main() -> None:
     if args.run_dir is not None:
         basedir = Path(args.run_dir)
     elif args.resume:
-        runs = sorted((Path("experiments") / args.config).glob("*"))
+        # newest by mtime — the day-first %d%m%Y_%H%M%S dir names do NOT
+        # sort chronologically lexicographically across months/years
+        runs = sorted((Path("experiments") / args.config).glob("*"),
+                      key=lambda p: p.stat().st_mtime)
         basedir = runs[-1] if runs else Path("experiments") / args.config / now
     else:
         basedir = Path("experiments") / args.config / now

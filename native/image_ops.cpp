@@ -393,6 +393,12 @@ class Pool {
             for (int64_t i = 0; i < n; ++i) fn(i);
             return;
         }
+        // One batch at a time: the batch state (fn_/next_/total_/done_) is
+        // shared, and run() releases m_ while waiting on cv_done_. Python
+        // DataLoader workers call this concurrently (ctypes drops the GIL),
+        // so without this outer lock a second batch would overwrite the
+        // first's counters mid-flight.
+        std::lock_guard<std::mutex> batch_lk(batch_m_);
         std::unique_lock<std::mutex> lk(m_);
         fn_ = &fn;
         next_ = 0;
@@ -429,6 +435,7 @@ class Pool {
     }
 
     std::vector<std::thread> workers_;
+    std::mutex batch_m_;  // serializes whole run() batches
     std::mutex m_;
     std::condition_variable cv_, cv_done_;
     const std::function<void(int64_t)>* fn_ = nullptr;

@@ -91,6 +91,34 @@ def test_pipeline_batch_flags_corrupt(encoded):
     assert (out[1] != 0).any()
 
 
+def test_pipeline_batch_concurrent_callers(encoded):
+    """Pool::run serializes whole batches: concurrent decode_pipeline_batch
+    calls (DataLoader workers; ctypes drops the GIL) must each get a fully
+    decoded, correct batch — no cross-batch counter clobbering, no
+    uninitialized rows, no deadlock."""
+    import concurrent.futures
+
+    img, jpeg, png = encoded
+    want_j = native.decode_image(jpeg)[3:35, 2:34].astype(np.float32) / 255.0
+    want_p = img[1:33, 4:36].astype(np.float32) / 255.0
+
+    def one(i):
+        if i % 2:
+            out, ok = native.decode_pipeline_batch(
+                [jpeg] * 6, 0, 32, [3] * 6, [2] * 6, [0] * 6)
+            want = want_j
+        else:
+            out, ok = native.decode_pipeline_batch(
+                [png] * 6, 0, 32, [1] * 6, [4] * 6, [0] * 6)
+            want = want_p
+        assert ok.all()
+        for row in out:
+            np.testing.assert_allclose(row, want, atol=1e-6)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(one, range(64), timeout=120))
+
+
 def test_pipeline_batch_no_resize(encoded):
     img, _, png = encoded
     out, ok = native.decode_pipeline_batch([png], 0, 32, [4], [5], [0])

@@ -250,6 +250,21 @@ def test_attention_packed_kchunk_matches_whole_row(rng, mode, cl):
                                atol=3e-5, rtol=1e-4)
 
 
+def test_attention_kchunk_long_cond_prefix(rng):
+    """cond_len > block_q: prefix rows in EARLY q-blocks attend cond columns
+    past their own diagonal — the live-chunk bound must extend to cond_len-1,
+    not stop at the block diagonal."""
+    b, n, hd, d, cl = 1, 192, 128, 64, 100
+    q = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32) * 0.125
+    k = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    want = att._attention_xla_packed(q, k, v, "prefix_causal", cl, d)
+    chunked = att._attention_packed_call(q, k, v, "prefix_causal", cl, d,
+                                         k_chunk=32, block_q=64)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("cur", [0, 5, 7, 8, 15])
 def test_cache_row_update_matches_dus(rng, cur):
     """In-place Pallas row write == dynamic_update_slice (interpret mode)."""
@@ -280,7 +295,8 @@ def test_cache_row_update_fallback_unpadded(rng):
 
 
 @pytest.mark.parametrize("b,n,hd,d,cl", [(2, 160, 256, 64, 3),
-                                         (1, 130, 128, 128, 1)])
+                                         (1, 130, 128, 128, 1),
+                                         (1, 160, 128, 64, 100)])
 def test_attention_gridchunk_matches_xla(rng, b, n, hd, d, cl):
     """Grid-level k-chunked causal forward (clamped dead-chunk DMAs,
     pl.when-gated compute, scratch online softmax) == XLA reference,

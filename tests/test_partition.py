@@ -194,3 +194,30 @@ def test_misaligned_local_shard_falls_back_to_xla_twin(devices):
     out = f(qs, ks, vs)
     want = _attention_xla_bnhd(q, k, v, d ** -0.5, "none", 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_gspmd_fallback_infer_sharding_rank_change(devices):
+    """With Shardy off, infer_sharding_from_operands drives propagation. For
+    rank-changing rules (vq: 'm d, n d -> m') the fallback must build the
+    result sharding from the rule's OUTPUT factors, not copy the rank-2
+    first-operand sharding onto the rank-1 result."""
+    from enhancing_tpu.ops.vq import _nearest_xla, nearest_codebook_indices
+
+    prev = jax.config.jax_use_shardy_partitioner
+    try:
+        jax.config.update("jax_use_shardy_partitioner", False)
+        mesh = make_mesh(data=8, devices=devices)
+        rng = np.random.default_rng(7)
+        z = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+        codebook = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
+        zsh = NamedSharding(mesh, P("data", None))
+        f = jax.jit(
+            lambda a, c: nearest_codebook_indices(a, c, impl="pallas"),
+            in_shardings=(zsh, NamedSharding(mesh, P())))
+        zs = jax.device_put(z, zsh)
+        cs = jax.device_put(codebook, NamedSharding(mesh, P()))
+        assert _all_gathers(f, zs, cs) == 0
+        np.testing.assert_array_equal(np.asarray(f(zs, cs)),
+                                      np.asarray(_nearest_xla(z, codebook)))
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", prev)
