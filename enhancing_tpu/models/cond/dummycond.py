@@ -34,8 +34,15 @@ class DummyCond:
 
 
 def _find_font(size: int = 12):
+    """Vendored DejaVuSans (assets/font/, redistributable — Bitstream Vera
+    license) stands in for the reference's vendored arial.ttf
+    (reference: assets/font/arial.ttf) so render grids are reproducible
+    across hosts; a user-supplied assets/font/arial.ttf still wins."""
     from PIL import ImageFont
+    repo_assets = Path(__file__).resolve().parents[3] / "assets" / "font"
     for cand in (Path(os.getcwd()) / "assets" / "font" / "arial.ttf",
+                 repo_assets / "arial.ttf",
+                 repo_assets / "DejaVuSans.ttf",
                  Path("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")):
         if cand.is_file():
             try:

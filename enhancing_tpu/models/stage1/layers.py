@@ -86,26 +86,38 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+def resolve_ffn_impl(ffn_impl: str | None) -> str:
+    """Resolve the FFN kernel choice: the ENHANCING_TPU_FUSED_FFN env var is
+    an A/B override; otherwise the module/config field decides ('dense' — the
+    default — or 'fused')."""
+    import os
+    env = os.environ.get("ENHANCING_TPU_FUSED_FFN")
+    if env is not None:
+        return "fused" if env not in ("", "0") else "dense"
+    return ffn_impl or "dense"
+
+
 class FeedForward(nn.Module):
     """Position-wise MLP with Tanh hidden activation.
 
     The reference uses Tanh (not GELU) in the stage-1 FFN
     (enhancing/modules/stage1/layers.py:95-105).
 
-    Set ENHANCING_TPU_FUSED_FFN=1 to route through the fused Pallas kernel
-    (ops/ffn.py) — measured ~2% slower than XLA's pipelined matmuls on v5e
-    for the base model, but potentially faster where HBM bandwidth is
-    scarcer relative to FLOPs.
+    ``ffn_impl='fused'`` (a config field on the encoder/decoder, or the
+    ENHANCING_TPU_FUSED_FFN=1 env override) routes through the fused Pallas
+    kernel (ops/ffn.py) — measured ~2% slower than XLA's pipelined matmuls
+    on v5e for the base model (see README perf notes for flagship dims), but
+    potentially faster where HBM bandwidth is scarcer relative to FLOPs.
     """
 
     dim: int
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    ffn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        import os
-        if os.environ.get("ENHANCING_TPU_FUSED_FFN"):
+        if resolve_ffn_impl(self.ffn_impl) == "fused":
             w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
             w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
             return fused_ffn(x.astype(self.dtype), w1, b1, w2, b2,
@@ -158,6 +170,7 @@ class TransformerBlock(nn.Module):
     dim_head: int
     mlp_dim: int
     dtype: jnp.dtype = jnp.float32
+    ffn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -165,7 +178,8 @@ class TransformerBlock(nn.Module):
         x = x + Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
                           name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
+                            ffn_impl=self.ffn_impl, name="ff")(h)
         return x
 
     def scan_call(self, x: jax.Array, _) -> tuple:
@@ -190,6 +204,7 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    ffn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -204,12 +219,14 @@ class Transformer(nn.Module):
                 length=self.depth,
                 methods=["scan_call"])
             stack = scanned(self.dim, self.heads, self.dim_head, self.mlp_dim,
-                            dtype=self.dtype, name="layers")
+                            dtype=self.dtype, ffn_impl=self.ffn_impl,
+                            name="layers")
             x, _ = stack.scan_call(x, jnp.zeros((self.depth, 0)))
         else:
             for i in range(self.depth):
                 x = block_cls(self.dim, self.heads, self.dim_head,
                               self.mlp_dim, dtype=self.dtype,
+                              ffn_impl=self.ffn_impl,
                               name=f"layers_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
@@ -233,6 +250,7 @@ class ViTEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    ffn_impl: str | None = None
 
     def setup(self) -> None:
         ih, iw = _pair(self.image_size)
@@ -251,6 +269,7 @@ class ViTEncoder(nn.Module):
                                        self.dim_head, self.mlp_dim,
                                        dtype=self.dtype, remat=self.remat,
                                        scan_layers=self.scan_layers,
+                                       ffn_impl=self.ffn_impl,
                                        name="transformer")
 
     def __call__(self, img: jax.Array) -> jax.Array:
@@ -281,6 +300,7 @@ class ViTDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    ffn_impl: str | None = None
 
     def setup(self) -> None:
         ih, iw = _pair(self.image_size)
@@ -296,6 +316,7 @@ class ViTDecoder(nn.Module):
                                        self.dim_head, self.mlp_dim,
                                        dtype=self.dtype, remat=self.remat,
                                        scan_layers=self.scan_layers,
+                                       ffn_impl=self.ffn_impl,
                                        name="transformer")
         self.to_pixel = nn.Dense(self.channels * ph * pw, kernel_init=dense_init,
                                  dtype=self.dtype, name="to_pixel")

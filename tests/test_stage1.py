@@ -208,3 +208,34 @@ def test_vitvq_wrapper_api(rng):
 
     logs = model.log_images({"image": x})
     assert set(logs) == {"originals", "reconstructions"}
+
+
+def test_ffn_impl_config_plumbing(rng, monkeypatch):
+    """ffn_impl='fused' (config field) routes through the fused Pallas FFN
+    with the SAME param tree as the Dense path; the env var stays an A/B
+    override in both directions."""
+    from enhancing_tpu.models.stage1.layers import FeedForward, resolve_ffn_impl
+
+    monkeypatch.setenv("ENHANCING_TPU_PALLAS_INTERPRET", "1")
+    x = jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.float32)
+    dense = FeedForward(64, 128)
+    fused = FeedForward(64, 128, ffn_impl="fused")
+    params = dense.init(jax.random.PRNGKey(0), x)
+    want = dense.apply(params, x)
+    got = fused.apply(params, x)          # same tree layout, fused kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    assert resolve_ffn_impl(None) == "dense"
+    assert resolve_ffn_impl("fused") == "fused"
+    monkeypatch.setenv("ENHANCING_TPU_FUSED_FFN", "1")
+    assert resolve_ffn_impl(None) == "fused"
+    monkeypatch.setenv("ENHANCING_TPU_FUSED_FFN", "0")
+    assert resolve_ffn_impl("fused") == "dense"
+
+
+def test_encoder_accepts_ffn_impl_field(rng):
+    enc = ViTEncoder(image_size=32, patch_size=8, dim_head=32,
+                     ffn_impl="dense", **ENC)
+    img = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), img)
+    assert enc.apply(params, img).shape == (1, 16, 64)
