@@ -190,24 +190,66 @@ def multihead_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 
 # ---------------------------------------------------------------------------
-# Packed head-pair kernel: q/k/v as (B, N, H*D) — the NATIVE layout of the
+# Packed slab kernel: q/k/v as (B, N, H*D) — the NATIVE layout of the
 # fused qkv projection output. No (B,H,N,D) transposes ever touch HBM.
 #
-# Mosaic tiling requires lane-dim blocks in multiples of 128, so a single
-# D=64 head can't be a block — instead each program owns a 128-lane SLAB
-# holding two heads. Per-head scores come from zero-masking the q lanes of
-# the other head before the contraction-128 matmul (the masked half
-# contributes zeros — the same wasted MXU columns the hardware would pad a
-# D=64 contraction with, but now lane-aligned and at full issue rate).
+# Mosaic tiling requires lane-dim blocks in multiples of 128, so the grid
+# walks SLABs of lanes:
+#   * head_dim % 128 == 0 (flagship GPT prior: 6144/16 -> D=384; also 128,
+#     256, ...): one head IS one slab of head_dim lanes — no masking, no
+#     wasted MXU columns; the D-lane contraction runs as D/128 native MXU
+#     passes.
+#   * 128 % head_dim == 0 (ViT/stand-in D=64, D=32): a 128-lane slab holds
+#     several heads. Per-head scores come from zero-masking the q lanes of
+#     the other heads before the contraction-128 matmul (the masked lanes
+#     contribute zeros — for D=64 the same wasted MXU columns the hardware
+#     would pad a 64-contraction with, but lane-aligned at full issue rate).
+#   * other dims (RQ prior: 1536/16 -> D=96 spatial, 1536/8 -> D=192 depth)
+#     are zero-PADDED per head to the next 128 multiple at the wrapper
+#     (multihead_attention_bnhd) and run the head-per-slab path: 1.33x
+#     score FLOPs vs 2-4x for masked multi-head slabs.
 #
 # VPU economy (the old kernel was softmax-bound, ~2.7 ms/layer of VPU at
 # ViT-base/b64): the score scale is folded into q OUTSIDE the kernel (an
 # O(N*HD) pass fused into the projection, not an O(N^2) pass here), and the
-# 1/sum normalisation multiplies the (bq, 128) OUTPUT instead of the
+# 1/sum normalisation multiplies the (bq, slab) OUTPUT instead of the
 # (bq, N) probability matrix — two full passes over N^2 removed.
 # ---------------------------------------------------------------------------
 
 LANES = 128
+
+
+def _slab_for(head_dim: int) -> int:
+    """Lane width of one kernel slab: the head itself when it is 128-aligned,
+    else a 128-lane slab packing several heads."""
+    return head_dim if head_dim % LANES == 0 else LANES
+
+
+def _split_slab_heads(q, head_dim: int, heads_per_slab: int):
+    """Per-head q tensors with the other heads' lanes zeroed. hps=2 uses one
+    where + one subtract; the general case masks each head's lane range."""
+    if heads_per_slab == 1:
+        return (q,)
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    if heads_per_slab == 2:
+        qa = jnp.where(lane < head_dim, q, jnp.zeros_like(q))
+        return (qa, q - qa)
+    zero = jnp.zeros_like(q)
+    return tuple(
+        jnp.where((lane >= h * head_dim) & (lane < (h + 1) * head_dim), q,
+                  zero) for h in range(heads_per_slab))
+
+
+def _merge_slab_heads(outs, head_dim: int):
+    """Select lane range h*D:(h+1)*D from outs[h] (per-head full-slab rows)."""
+    if len(outs) == 1:
+        return outs[0]
+    lane_head = jax.lax.broadcasted_iota(
+        jnp.int32, outs[0].shape, 1) // head_dim
+    out = outs[0]
+    for h in range(1, len(outs)):
+        out = jnp.where(lane_head == h, outs[h], out)
+    return out
 
 
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
@@ -222,7 +264,8 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
     them, doubling the score work). ``m_valid``: true key count when the
     caller padded M up to a chunk multiple (padding columns are masked)."""
     qi = pl.program_id(2)
-    q = q_ref[0]                               # (bq, 128) bf16, pre-scaled
+    q = q_ref[0]                               # (bq, slab) bf16, pre-scaled
+    slab = q.shape[-1]
     m_tot = k_ref.shape[1]
     if m_valid is None:
         m_valid = m_tot
@@ -242,12 +285,7 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
         return jnp.where(allowed, s, NEG_INF) \
             if (mask_mode == "prefix_causal" or m_valid != m_tot) else s
 
-    if heads_per_slab == 1:                       # one D=128 head per slab
-        q_heads = (q,)
-    else:                                         # two D=64 heads per slab
-        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-        qa = jnp.where(lane < head_dim, q, jnp.zeros_like(q))
-        q_heads = (qa, q - qa)
+    q_heads = _split_slab_heads(q, head_dim, heads_per_slab)
 
     outs = []
     for qh in q_heads:
@@ -292,16 +330,11 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
                 0, live, chunk_body,
                 (jnp.full((block_q, 1), NEG_INF, jnp.float32),
                  jnp.zeros((block_q, 1), jnp.float32),
-                 jnp.zeros((block_q, LANES), jnp.float32)))
+                 jnp.zeros((block_q, slab), jnp.float32)))
             o = o / l
         outs.append(o)
 
-    if heads_per_slab == 1:
-        out = outs[0]
-    else:
-        lane_o = jax.lax.broadcasted_iota(jnp.int32, outs[0].shape, 1)
-        out = jnp.where(lane_o < head_dim, outs[0], outs[1])
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0] = _merge_slab_heads(outs, head_dim).astype(o_ref.dtype)
 
 
 def _attn_kernel_packed_gridchunk(q_ref, k_ref, v_ref, o_ref, m_acc, l_acc,
@@ -340,8 +373,8 @@ def _attn_kernel_packed_gridchunk(q_ref, k_ref, v_ref, o_ref, m_acc, l_acc,
 
     @pl.when(live)
     def _chunk():
-        q = q_ref[0]                        # (bq, 128) pre-scaled
-        k = k_ref[0]                        # (k_chunk, 128)
+        q = q_ref[0]                        # (bq, slab) pre-scaled
+        k = k_ref[0]                        # (k_chunk, slab)
         v = v_ref[0]
         col0 = jk * k_chunk
 
@@ -356,12 +389,7 @@ def _attn_kernel_packed_gridchunk(q_ref, k_ref, v_ref, o_ref, m_acc, l_acc,
             allowed = allowed & (cols < m_valid)
             return jnp.where(allowed, s, NEG_INF)
 
-        if heads_per_slab == 1:
-            q_heads = (q,)
-        else:
-            lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-            qa = jnp.where(lane < head_dim, q, jnp.zeros_like(q))
-            q_heads = (qa, q - qa)
+        q_heads = _split_slab_heads(q, head_dim, heads_per_slab)
 
         for h, qh in enumerate(q_heads):
             s = scores(qh)
@@ -378,14 +406,8 @@ def _attn_kernel_packed_gridchunk(q_ref, k_ref, v_ref, o_ref, m_acc, l_acc,
 
     @pl.when(jk == nk - 1)
     def _flush():
-        if heads_per_slab == 1:
-            out = o_acc[0] / l_acc[0]
-        else:
-            lane_o = jax.lax.broadcasted_iota(
-                jnp.int32, o_acc[0].shape, 1)
-            out = jnp.where(lane_o < head_dim,
-                            o_acc[0] / l_acc[0], o_acc[1] / l_acc[1])
-        o_ref[0] = out.astype(o_ref.dtype)
+        outs = [o_acc[h] / l_acc[h] for h in range(heads_per_slab)]
+        o_ref[0] = _merge_slab_heads(outs, head_dim).astype(o_ref.dtype)
 
 
 def _attention_packed_gridchunk_call(q3, k3, v3, mask_mode, cond_len,
@@ -400,8 +422,9 @@ def _attention_packed_gridchunk_call(q3, k3, v3, mask_mode, cond_len,
         k3 = jnp.pad(k3, ((0, 0), (0, m_pad - m), (0, 0)))
         v3 = jnp.pad(v3, ((0, 0), (0, m_pad - m), (0, 0)))
         m = m_pad
-    heads_per_slab = LANES // head_dim
-    slabs = hd // LANES
+    slab = _slab_for(head_dim)
+    heads_per_slab = slab // head_dim
+    slabs = hd // slab
     block_q = min(block_q, n)
     nq = cdiv(n, block_q)
     nk = m // k_chunk
@@ -423,23 +446,23 @@ def _attention_packed_gridchunk_call(q3, k3, v3, mask_mode, cond_len,
         out_shape=jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
         grid=(b, slabs, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda i, s, jq, jk: (i, jq, s),
+            pl.BlockSpec((1, block_q, slab), lambda i, s, jq, jk: (i, jq, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_chunk, LANES), k_index,
+            pl.BlockSpec((1, k_chunk, slab), k_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_chunk, LANES), k_index,
+            pl.BlockSpec((1, k_chunk, slab), k_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, LANES),
+        out_specs=pl.BlockSpec((1, block_q, slab),
                                lambda i, s, jq, jk: (i, jq, s),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((heads_per_slab, block_q, 1), jnp.float32),
             pltpu.VMEM((heads_per_slab, block_q, 1), jnp.float32),
-            pltpu.VMEM((heads_per_slab, block_q, LANES), jnp.float32),
+            pltpu.VMEM((heads_per_slab, block_q, slab), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * m * hd * (2 if heads_per_slab == 2 else 1),
+            flops=2 * b * n * m * hd * heads_per_slab,
             bytes_accessed=(q3.size + k3.size + v3.size + q3.size)
             * q3.dtype.itemsize,
             transcendentals=b * n_heads * n * m // 2,
@@ -461,13 +484,15 @@ def _packed_block_q(n: int, m: int, heads_per_slab: int) -> int:
 def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
                            k_chunk: int | None = None,
                            block_q: int | None = None):
-    """q3, k3, v3: (B, N, H*D) with H*D % 128 == 0 and D in {64, 128}.
-    q3 must already carry the softmax scale."""
+    """q3, k3, v3: (B, N, H*D); D must satisfy _slab_for (D % 128 == 0 or
+    128 % D == 0 — pad other dims at the wrapper). q3 must already carry
+    the softmax scale."""
     import os
     b, n, hd = q3.shape
     m = k3.shape[1]
-    heads_per_slab = LANES // head_dim
-    slabs = hd // LANES
+    slab = _slab_for(head_dim)
+    heads_per_slab = slab // head_dim
+    slabs = hd // slab
     if block_q is None:
         block_q = _packed_block_q(n, m, heads_per_slab)
     block_q = min(block_q, n)
@@ -499,17 +524,17 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
         out_shape=jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+            pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, s),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+        out_specs=pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * m * hd * (2 if heads_per_slab == 2 else 1),
+            flops=4 * b * n * m * hd * heads_per_slab,
             bytes_accessed=(q3.size + k3.size + v3.size + q3.size)
             * q3.dtype.itemsize,
             transcendentals=b * n_heads * n * m,
@@ -519,9 +544,13 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
 
 
 def _packed_supported(n_heads: int, head_dim: int, n: int, m: int) -> bool:
-    if head_dim not in (64, 128):
+    """Dims the packed kernels run natively: heads that are whole slabs
+    (D % 128 == 0 — incl. the flagship GPT prior's D=384) or that pack a
+    128-lane slab evenly (D in {64, 32, ...}). D=96/192 reach this path
+    via per-head zero-padding in multihead_attention_bnhd."""
+    if head_dim % LANES and LANES % head_dim:
         return False
-    if (n_heads * head_dim) % LANES:
+    if (n_heads * head_dim) % _slab_for(head_dim):
         return False
     # Unaligned n/m produce partial tiles that Mosaic masks to logical
     # bounds (verified on hardware vs XLA for N=M=1025, both mask modes).
@@ -644,10 +673,10 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                      block_q: int, heads_per_slab: int, head_dim: int):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
-    q = q_ref[0]                                # (bq, 128) bf16, pre-scaled
-    k = k_ref[0]                                # (M, 128)
+    q = q_ref[0]                                # (bq, slab) bf16, pre-scaled
+    k = k_ref[0]                                # (M, slab)
     v = v_ref[0]
-    do = do_ref[0]                              # (bq, 128)
+    do = do_ref[0]                              # (bq, slab)
 
     @pl.when(j == 0)
     def _init():
@@ -688,23 +717,15 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     if heads_per_slab == 1:
         dq, dk, dv = one_head(q, do)
     else:
-        lane_q = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-        sel_q = lane_q < head_dim
-        qa = jnp.where(sel_q, q, jnp.zeros_like(q))
-        qb = q - qa
-        lane_o = jax.lax.broadcasted_iota(jnp.int32, do.shape, 1)
-        sel_o = lane_o < head_dim
-        doa = jnp.where(sel_o, do, jnp.zeros_like(do))
-        dob = do - doa
-        dqa, dka, dva = one_head(qa, doa)
-        dqb, dkb, dvb = one_head(qb, dob)
-        lane_dq = jax.lax.broadcasted_iota(jnp.int32, dqa.shape, 1)
-        dq = jnp.where(lane_dq < head_dim, dqa, dqb)
-        # dk contributions are already lane-clean (qa/qb carry the zeroing);
-        # dv needs the select (p^T do spans both heads' lanes)
-        dk = dka + dkb
-        lane_kv = jax.lax.broadcasted_iota(jnp.int32, dva.shape, 1)
-        dv = jnp.where(lane_kv < head_dim, dva, dvb)
+        q_heads = _split_slab_heads(q, head_dim, heads_per_slab)
+        do_heads = _split_slab_heads(do, head_dim, heads_per_slab)
+        grads = [one_head(qh, doh) for qh, doh in zip(q_heads, do_heads)]
+        dq = _merge_slab_heads([g[0] for g in grads], head_dim)
+        # dk contributions are already lane-clean (the q_heads zeroing
+        # carries through ds @ q); dv needs the merge (p^T do spans every
+        # head's lanes)
+        dk = sum(g[1] for g in grads)
+        dv = _merge_slab_heads([g[2] for g in grads], head_dim)
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_acc[...] += dk
@@ -720,8 +741,9 @@ def _attention_packed_bwd_call(q3, k3, v3, do3, mask_mode, cond_len,
                                head_dim):
     b, n, hd = q3.shape
     m = k3.shape[1]
-    heads_per_slab = LANES // head_dim
-    slabs = hd // LANES
+    slab = _slab_for(head_dim)
+    heads_per_slab = slab // head_dim
+    slabs = hd // slab
     # backward holds ~3 fp32 (bq, M) tiles per head live
     block_q = _packed_block_q(n, m, heads_per_slab * 2)
     grid = (b, slabs, cdiv(n, block_q))
@@ -736,27 +758,27 @@ def _attention_packed_bwd_call(q3, k3, v3, do3, mask_mode, cond_len,
                    jax.ShapeDtypeStruct((b, m, hd), v3.dtype)],
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+            pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+            pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda i, s, j: (i, j, s),
+            pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, LANES), lambda i, s, j: (i, 0, s),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, s),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((m, LANES), jnp.float32),
-                        pltpu.VMEM((m, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((m, slab), jnp.float32),
+                        pltpu.VMEM((m, slab), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=10 * b * n * m * hd * (2 if heads_per_slab == 2 else 1),
+            flops=10 * b * n * m * hd * heads_per_slab,
             bytes_accessed=3 * (q3.size + k3.size + v3.size)
             * q3.dtype.itemsize,
             transcendentals=b * n_heads * n * m,
@@ -782,11 +804,11 @@ def _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim):
 def _packed_local_ok(q3, k3, head_dim: int) -> bool:
     """Does this (possibly per-shard local) shape support the packed kernel?
     Head-dim sharding hands each shard a contiguous lane chunk; a chunk that
-    is a multiple of 128 holds whole head-pair slabs, so the unmodified
+    is a multiple of the slab width holds whole slabs, so the unmodified
     kernel is correct on it."""
     b, n, hd = q3.shape
     m = k3.shape[1]
-    return (hd % LANES == 0 and hd % head_dim == 0
+    return (hd % _slab_for(head_dim) == 0 and hd % head_dim == 0
             and _packed_supported(hd // head_dim, head_dim, n, m))
 
 
@@ -999,12 +1021,19 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256):
     return out[:, 0, :]
 
 
+def _decode_supported(hd: int, head_dim: int, m: int) -> bool:
+    """The decode kernel scores every head in one masked (H, HD) matmul —
+    its lane masks are built from iota//head_dim, so ANY head_dim dividing
+    hd works (incl. the RQ prior's 96/192); only the packed hd axis needs
+    Mosaic's 128-lane tiling and the cache enough rows to chunk."""
+    return hd % LANES == 0 and hd % head_dim == 0 and m >= 128
+
+
 def _decode_impl(q3, kc, vc, kn, vn, cur, head_dim):
     """Local-shape dispatch (cur: (1,) int32 so the partitioner sees an
     array operand, not a traced scalar)."""
     m, hd = kc.shape[1], kc.shape[2]
-    if (hd % head_dim == 0 and m >= 128
-            and _packed_supported(hd // head_dim, head_dim, LANES, m)):
+    if _decode_supported(hd, head_dim, m):
         return _decode_pallas(q3, kc, vc, kn, vn, cur[0], head_dim)
     return _decode_xla(q3, kc, vc, kn, vn, cur[0], head_dim)
 
@@ -1029,14 +1058,13 @@ def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
       head_dim: per-head feature size.
 
     Replaces the reference's per-step torch.cat KV concatenation
-    (enhancing/modules/stage2/layers.py:68-88). On TPU with D in {64, 128}
-    and 128-aligned H*D this runs the prefix-aware Pallas kernel; cache
-    chunks past cur_len are neither DMA'd nor computed.
+    (enhancing/modules/stage2/layers.py:68-88). On TPU with 128-aligned
+    H*D and any D dividing it (64/96/128/192/384 — both shipped priors)
+    this runs the prefix-aware Pallas kernel; cache chunks past cur_len
+    are neither DMA'd nor computed.
     """
     b, m, hd = k_cache.shape
-    n_heads = hd // head_dim
-    if use_pallas(impl) and _packed_supported(n_heads, head_dim, LANES, m) \
-            and m >= 128:
+    if use_pallas(impl) and _decode_supported(hd, head_dim, m):
         cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
         return _decode_part(q3, k_cache, v_cache, k_new, v_new, cur, head_dim)
     return _decode_xla(q3, k_cache, v_cache, k_new, v_new, cur_len, head_dim)
@@ -1048,12 +1076,17 @@ def multihead_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                              impl: str | None = "auto") -> jax.Array:
     """Attention over (batch, seq, heads, head_dim) input layout.
 
-    On TPU with D in {64, 128} this dispatches to the packed head-pair
-    kernel, consuming the (B, N, H*D) projection layout directly — zero
-    layout transposes. The softmax scale is folded into q here (an O(N*HD)
+    On TPU with slab-compatible head dims (D % 128 == 0 — incl. the GPT
+    prior's 384 — or 128 % D == 0, e.g. 64) this dispatches to the packed
+    slab kernel, consuming the (B, N, H*D) projection layout directly —
+    zero layout transposes. Other D (the RQ prior's 96 and 192) are
+    zero-padded per head to the next 128 multiple and run the same kernel:
+    padded q/k lanes add 0 to every score and padded v lanes produce 0
+    output lanes that are sliced off, so the math is exact at 1.33x the
+    score FLOPs. The softmax scale is folded into q here (an O(N*HD)
     elementwise op XLA fuses into the projection); its gradient flows
-    through this scaling outside the custom_vjp. Other shapes fall back to
-    the (B,H,N,D) fused kernel with XLA transposes, then pure XLA.
+    through this scaling outside the custom_vjp. Remaining shapes fall
+    back to the (B,H,N,D) fused kernel with XLA transposes, then pure XLA.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -1066,6 +1099,16 @@ def multihead_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                                           v.reshape(b, m, h * d),
                                           mask_mode, int(cond_len), d)
             return out.reshape(b, n, h, d)
+        d_pad = cdiv(d, LANES) * LANES
+        if d_pad != d and _packed_supported(h, d_pad, n, m):
+            pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+            qp = jnp.pad(q * jnp.asarray(scale, q.dtype), pad)
+            kp = jnp.pad(k, pad)
+            vp = jnp.pad(v, pad)
+            out = _attention_fused_packed(
+                qp.reshape(b, n, h * d_pad), kp.reshape(b, m, h * d_pad),
+                vp.reshape(b, m, h * d_pad), mask_mode, int(cond_len), d_pad)
+            return out.reshape(b, n, h, d_pad)[..., :d]
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
