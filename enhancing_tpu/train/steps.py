@@ -263,6 +263,41 @@ def make_vitvq_eval_step(model, loss_obj):
     return eval_step
 
 
+def make_cond_transformer_eval_step(cond_model):
+    """Stage-2 validation: cross-entropy of the prior on frozen-tokenizer
+    codes (reference transformer.py:126-129). The mean reduces over the
+    whole sharded batch under jit — XLA inserts the cross-replica reduction,
+    the ``sync_dist=True`` equivalent (SURVEY §2.9)."""
+    stage1 = cond_model.stage1_model
+    transformer = cond_model.transformer
+    is_rq = cond_model.is_rq
+
+    @jax.jit
+    def encode(stage1_vars, images: jax.Array) -> jax.Array:
+        # same executable as the train step's encode (compile-cache reuse)
+        return jax.lax.stop_gradient(
+            stage1.module.apply(stage1_vars, images, method="encode_codes"))
+
+    @jax.jit
+    def ce(params, codes: jax.Array, conds: jax.Array
+           ) -> Dict[str, jax.Array]:
+        logits = transformer.apply({"params": params}, codes, conds)
+        if is_rq:
+            targets = codes.reshape(-1, codes.shape[-1])
+        else:
+            targets = codes.reshape(codes.shape[0], -1)
+        logits = logits.reshape(-1, logits.shape[-1]).astype(jnp.float32)
+        t = targets.reshape(-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return {"val/total_loss":
+                -jnp.mean(jnp.take_along_axis(logp, t[:, None], axis=1))}
+
+    def eval_step(state: TrainState, images, conds):
+        return ce(state.params, encode(stage1.variables, images), conds)
+
+    return eval_step
+
+
 def make_cond_transformer_train_step(cond_model, tx, pp_mesh=None,
                                      pp_microbatches: int = 8):
     """Stage-2 prior step: frozen encodes + cross-entropy

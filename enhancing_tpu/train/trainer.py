@@ -27,6 +27,7 @@ from .optim import make_ae_optimizer, make_gpt_optimizer
 from .steps import (
     GANTrainState,
     TrainState,
+    make_cond_transformer_eval_step,
     make_cond_transformer_train_step,
     make_vitvq_eval_step,
     make_vitvq_train_step,
@@ -241,20 +242,14 @@ class Trainer:
 
     def _fit_stage2(self, model: CondTransformer, data) -> None:
         state, train_step = self._build_stage2(model)
+        eval_step = make_cond_transformer_eval_step(model)
         state, start_epoch = self._maybe_resume(state)
         model.params = state.params
         image_loggers = [cb for cb in self.callbacks
                          if isinstance(cb, ImageLogger)]
         for epoch in range(start_epoch, self.max_epochs):
             for batch_idx, batch in enumerate(data.train_dataloader()):
-                images = self._shard(_as_nhwc(jnp.asarray(
-                    batch[model.stage1_model.image_key], jnp.float32)))
-                conds = np.asarray(batch[model.cond_key])
-                conds = jnp.asarray(
-                    model.cond_model.encode_codes(conds)).astype(jnp.int32)
-                if conds.ndim == 1:
-                    conds = conds[:, None]
-                conds = self._shard(conds)
+                images, conds = self._stage2_batch(model, batch)
                 state, log = train_step(state, images, conds)
                 self.global_step += 1
                 self._maybe_log(log, epoch)
@@ -264,11 +259,44 @@ class Trainer:
                                top_k=64)
                 if self.max_steps and self.global_step >= self.max_steps:
                     break
+            self._validate_stage2(model, data, state, eval_step, epoch)
             self._save_ckpt(state, epoch)
             if self.max_steps and self.global_step >= self.max_steps:
                 break
         model.params = state.params
         self.final_state = state
+
+    def _stage2_batch(self, model: CondTransformer, batch):
+        images = self._shard(_as_nhwc(jnp.asarray(
+            batch[model.stage1_model.image_key], jnp.float32)))
+        conds = np.asarray(batch[model.cond_key])
+        conds = jnp.asarray(
+            model.cond_model.encode_codes(conds)).astype(jnp.int32)
+        if conds.ndim == 1:
+            conds = conds[:, None]
+        return images, self._shard(conds)
+
+    def _validate_stage2(self, model, data, state, eval_step, epoch) -> None:
+        """Epoch-end validation CE + val sample grids (the reference's
+        validation_step + on_validation_batch_end image logging —
+        transformer.py:126-129, callback.py:134-141)."""
+        if "validation" not in getattr(data, "datasets", {}):
+            return
+        image_loggers = [cb for cb in self.callbacks
+                         if isinstance(cb, ImageLogger)]
+        logs = []
+        for batch_idx, batch in enumerate(data.val_dataloader()):
+            images, conds = self._stage2_batch(model, batch)
+            logs.append(eval_step(state, images, conds))
+            for il in image_loggers:
+                il.log_img(model, batch, self.global_step, "val",
+                           check_idx=batch_idx, top_k=64)
+        if logs:
+            mean_log = {k: float(np.mean([float(l[k]) for l in logs]))
+                        for k in logs[0]}
+            self._print_metrics(mean_log, prefix=f"[epoch {epoch} val]")
+            if self.metrics_logger is not None and is_main_process():
+                self.metrics_logger.log_metrics(mean_log, self.global_step)
 
     # -- misc --------------------------------------------------------------------
 

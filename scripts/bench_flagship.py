@@ -1,0 +1,274 @@
+#!/usr/bin/env python3
+"""On-chip measurements of the SHIPPED flagship stage-2 configs.
+
+The reference's shipped prior workloads (its only stage-2 configs) are:
+  * GPT  6144d x 24L x 16h  -> head_dim 384   (configs/imagenet_gpt_vitvq_base.yaml,
+    reference configs/imagenet_gpt_vitvq_base.yaml:34-41)
+  * RQ   1536d, spatial 24L x 16h (D=96), depth 4L x 8h (D=192)
+    (configs/imagenet_rqtransformer_base.yaml)
+
+Every row here is measured at THOSE dims (not 1024d/D-64 stand-ins) on the
+real chip, with the relay-safe methodology from bench.py: unique inputs per
+iteration, chained calls, and a host transfer to force completion.
+
+Memory reality check (one v5e = 16 GB HBM): the 6144d x 24L GPT has
+~11.0B matmul params — 22 GB in bf16 before a single activation, ~130 GB
+as fp32 AdamW state. Single-chip rows therefore measure per-layer cost and
+the largest depth slice that fits; the full-depth config trains via the
+tp/pp/zero1 modes in parallel/ (driver-validated on the virtual mesh).
+
+Usage: python scripts/bench_flagship.py [--part all|layer|train|decode|rq]
+"""
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _sync(x) -> float:
+    import jax.numpy as jnp
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def _timed(fn, x0, iters=8, trials=3):
+    """Marginal per-iteration time of chained fn(x, i) calls."""
+    def run(n, tag):
+        x = x0
+        t0 = time.perf_counter()
+        for i in range(n):
+            x = fn(x, tag + i)
+        _sync(x[0] if isinstance(x, tuple) else x)
+        return time.perf_counter() - t0
+
+    times = []
+    for t in range(trials):
+        t_short = run(2, 1000 * t)
+        t_long = run(2 + iters, 50_000 + 1000 * t)
+        times.append((t_long - t_short) / iters)
+    return statistics.median(times)
+
+
+def bench_layer():
+    """One 6144d stage-2 Block (D=384 packed attention + squared-ReLU FFN):
+    fwd and fwd+bwd, b4 (the shipped config's per-device batch) x N=1025."""
+    import jax
+    import jax.numpy as jnp
+    from enhancing_tpu.models.stage2.layers import Block
+
+    b, n, c, h = 4, 1025, 6144, 16
+    blk = Block(embed_dim=c, n_heads=h, cond_len=1, dtype=jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (b, n, c), jnp.bfloat16)
+    params = blk.init(jax.random.PRNGKey(1), x0)
+
+    @jax.jit
+    def fwd(x, i):
+        return blk.apply(params, x + i * jnp.bfloat16(1e-8))
+
+    @jax.jit
+    def fwdbwd(x, i):
+        def loss(xi):
+            return jnp.sum(blk.apply(params, xi).astype(jnp.float32) ** 2)
+        g = jax.grad(loss)(x + i * jnp.bfloat16(1e-8))
+        return g
+
+    _sync(fwd(x0, jnp.bfloat16(0)))
+    t_f = _timed(lambda x, i: fwd(x, jnp.bfloat16(i * 1e-6)), x0)
+    _sync(fwdbwd(x0, jnp.bfloat16(0)))
+    t_fb = _timed(lambda x, i: fwdbwd(x, jnp.bfloat16(i * 1e-6)), x0)
+
+    # FLOPs: projections 4*2*B*N*C^2, attention 4*B*N^2*C, FFN 2*2*B*N*C*4C
+    proj = 4 * 2 * b * n * c * c
+    attn = 4 * b * n * n * c
+    ffn = 2 * 2 * b * n * c * 4 * c
+    fl = proj + attn + ffn
+    print(f"[gpt-6144d layer] fwd {t_f*1e3:.2f} ms  "
+          f"({fl/t_f/1e12:.1f} TFLOP/s), fwd+bwd {t_fb*1e3:.2f} ms "
+          f"({3*fl/t_fb/1e12:.1f} TFLOP/s of {fl/1e9:.0f} GF fwd)")
+    return t_f, t_fb
+
+
+def bench_train(n_layers=2):
+    """Largest 6144d GPT depth slice that trains (AdamW, remat, scan) on one
+    chip: full CE step over frozen-tokenizer codes at the config batch (4)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from enhancing_tpu.models.stage2.layers import GPT
+
+    m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=6144,
+            cond_num_tokens=1, img_num_tokens=1024, n_heads=16,
+            n_layers=n_layers, dtype=jnp.bfloat16, scan_layers=True,
+            remat=True)
+    b = 4
+    codes0 = jnp.zeros((b, 1024), jnp.int32)
+    conds = jnp.zeros((b, 1), jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), codes0, conds)
+    params = variables["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    tx = optax.adamw(1e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, codes):
+        def loss(p):
+            logits = m.apply({"params": p}, codes, conds)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), codes).mean()
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, updates), opt, l
+
+    t0 = time.perf_counter()
+    params, opt, l = step(params, opt, codes0)
+    _sync(l)
+    print(f"[gpt-6144d train {n_layers}L] compile+first {time.perf_counter()-t0:.0f}s, "
+          f"{n_params/1e9:.2f}B params")
+
+    def one(carry, i):
+        params, opt = carry
+        codes = jnp.full((b, 1024), i % 8192, jnp.int32)
+        params, opt, l = step(params, opt, codes)
+        return (params, opt)
+
+    t = _timed(one, (params, opt), iters=4, trials=3)
+    tok = b * 1024 / t
+    print(f"[gpt-6144d train {n_layers}L] {t*1e3:.1f} ms/step "
+          f"({tok:.0f} tok/s, b{b}, AdamW fp32 state, remat)")
+    return t
+
+
+def bench_decode(n_layers=8, batch=4):
+    """Flagship-dim (6144d, D=384) KV-cache decode at the deepest slice whose
+    bf16 params + cache fit one chip; reports tok/s and HBM GB/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from enhancing_tpu.models.stage2.layers import GPT
+    from enhancing_tpu.models.stage2.sampling import sample_gpt
+
+    m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=6144,
+            cond_num_tokens=1, img_num_tokens=1024, n_heads=16,
+            n_layers=n_layers, dtype=jnp.bfloat16)
+    conds = jnp.zeros((batch, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((batch, 1024), jnp.int32),
+                conds)
+    n_params = sum(p.size for p in jax.tree.leaves(vs["params"]))
+
+    t0 = time.perf_counter()
+    _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
+    _ = np.asarray(out)
+    print(f"[gpt-6144d decode {n_layers}L] compile+first "
+          f"{time.perf_counter()-t0:.0f}s, {n_params/1e9:.2f}B params")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(1 + i),
+                            top_k=100)
+        _ = np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    tok_s = batch * 1024 / dt
+    # per decoded token: all params read once + ~half the final KV cache
+    cache_bytes = n_layers * batch * 1025 * 6144 * 2 * 2
+    traffic = 1024 * (n_params * 2 + cache_bytes / 2)
+    print(f"[gpt-6144d decode {n_layers}L] {dt*1e3:.0f} ms / 1024 tok "
+          f"-> {tok_s:.0f} tok/s @ b{batch}; ~{traffic/dt/1e9:.0f} GB/s "
+          f"of ~819 GB/s HBM roofline")
+    return dt
+
+
+def bench_rq(train_batch=4, sample_batch=4):
+    """Shipped RQ flagship (1536d, 24L spatial D=96 + 4L depth D=192):
+    full-config AdamW training step and nested sampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from enhancing_tpu.models.stage2.layers import RQTransformer
+    from enhancing_tpu.models.stage2.sampling import sample_rq
+
+    m = RQTransformer(vocab_cond_size=1000, vocab_img_size=8192,
+                      embed_dim=1536, cond_num_tokens=1, img_num_tokens=1024,
+                      depth_num_tokens=4, spatial_n_heads=16, depth_n_heads=8,
+                      spatial_n_layers=24, depth_n_layers=4,
+                      dtype=jnp.bfloat16, scan_layers=True, remat=True)
+    b = train_batch
+    codes0 = jnp.zeros((b, 1024, 4), jnp.int32)
+    conds = jnp.zeros((b, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), codes0, conds)
+    params = vs["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    tx = optax.adamw(1e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, codes):
+        def loss(p):
+            logits = m.apply({"params": p}, codes, conds)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32),
+                codes.reshape(-1, 4)).mean()
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, updates), opt, l
+
+    t0 = time.perf_counter()
+    params, opt, l = step(params, opt, codes0)
+    _sync(l)
+    print(f"[rq-1536d train 24L+4L] compile+first {time.perf_counter()-t0:.0f}s, "
+          f"{n_params/1e9:.2f}B params")
+
+    def one(carry, i):
+        params, opt = carry
+        codes = jnp.full((b, 1024, 4), i % 8192, jnp.int32)
+        params, opt, l = step(params, opt, codes)
+        return (params, opt)
+
+    t = _timed(one, (params, opt), iters=4, trials=3)
+    print(f"[rq-1536d train 24L+4L] {t*1e3:.1f} ms/step "
+          f"({b*1024*4/t:.0f} tok/s, b{b}, AdamW, remat)")
+
+    # sampling at the full shipped config
+    conds_s = jnp.zeros((sample_batch, 1), jnp.int32)
+    vs_s = {"params": params}
+    t0 = time.perf_counter()
+    out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(0), top_k=100)
+    _ = np.asarray(out)
+    print(f"[rq-1536d sample] compile+first {time.perf_counter()-t0:.0f}s")
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(1 + i),
+                        top_k=100)
+        _ = np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    print(f"[rq-1536d sample] {dt:.1f} s / 1024x4 codes -> "
+          f"{sample_batch*1024*4/dt:.0f} tok/s @ b{sample_batch}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", default="all",
+                    choices=["all", "layer", "train", "decode", "rq"])
+    ap.add_argument("--layers", type=int, default=None,
+                    help="depth override for train/decode parts")
+    args = ap.parse_args()
+    from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
+    maybe_enable_from_env()
+    if args.part in ("all", "layer"):
+        bench_layer()
+    if args.part in ("all", "train"):
+        bench_train(args.layers or 2)
+    if args.part in ("all", "decode"):
+        bench_decode(args.layers or 8)
+    if args.part in ("all", "rq"):
+        bench_rq()
+
+
+if __name__ == "__main__":
+    main()

@@ -305,3 +305,38 @@ def test_auto_resume_continues_from_checkpoint(tmp_path):
                  log_every=1000, resume=True)
     t3.fit(m3, data)
     assert t3.global_step == 8
+
+
+def test_stage2_validation_metrics_and_images(tmp_path):
+    """Stage-2 epoch-end validation: val CE logged (reference
+    transformer.py:126-129) and val sample grids produced through
+    ImageLogger (VERDICT r2 item #3)."""
+    from enhancing_tpu.models.stage2.transformer import CondTransformer
+    from enhancing_tpu.utils.callback import ImageLogger
+
+    rec = _RecordingLogger()
+    il = ImageLogger(batch_frequency=10, max_images=2, logdir=tmp_path,
+                     wandb_logger=rec)
+    names = [f"c{i}" for i in range(1000)]  # FakeImages classes span 0..999
+    model = CondTransformer(
+        cond_key="class",
+        cond={"target": "enhancing_tpu.models.cond.dummycond.ClassCond",
+              "params": {"image_size": 32, "class_name": names}},
+        stage1={"target": "enhancing_tpu.models.stage1.vitvqgan.ViTVQ",
+                "params": {"image_size": 32, "patch_size": 8,
+                           "encoder": TINY, "decoder": TINY, "quantizer": Q}},
+        transformer={"target": "enhancing_tpu.models.stage2.layers.GPT",
+                     "params": {"vocab_cond_size": 1000, "vocab_img_size": 64,
+                                "embed_dim": 32, "cond_num_tokens": 1,
+                                "img_num_tokens": 16, "n_heads": 2,
+                                "n_layers": 2}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-3, log_every=1000,
+                      callbacks=[il], metrics_logger=rec)
+    trainer.fit(model, build_data())
+    assert any("val/total_loss" in m for _, m in rec.metrics)
+    val_loss = next(m["val/total_loss"] for _, m in rec.metrics
+                    if "val/total_loss" in m)
+    assert np.isfinite(val_loss) and val_loss > 0
+    val_dir = tmp_path / "results" / "val"
+    assert val_dir.is_dir() and list(val_dir.glob("*.png"))
+    assert any(tag.startswith("val/") for tag, _ in rec.images)
