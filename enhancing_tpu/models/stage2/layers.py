@@ -74,6 +74,27 @@ class MultiHeadSelfAttention(nn.Module):
             shifted = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
         return x * tm + shifted * (1.0 - tm)
 
+    def _fused_qkv(self, x: jax.Array):
+        """q/k/v as ONE (B, T, C) @ (C, 3C) GEMM. The per-token decode step
+        is dispatch-bound (~8 kernels/layer/token); this folds 3 of them
+        into 1. The weight concat is loop-invariant, so XLA hoists it out
+        of the decode scan. Numerically identical to the three Dense calls
+        (same params — reads the bound submodules' kernels)."""
+        if self.is_initializing():
+            # init through the decode path: let the Dense modules create
+            # their params with the standard tree layout
+            return self.query_p(x), self.key_p(x), self.value_p(x)
+        ws, bs = [], []
+        for mod in (self.query_p, self.key_p, self.value_p):
+            p = mod.variables["params"]
+            ws.append(p["kernel"].astype(self.dtype))
+            if self.attn_bias:
+                bs.append(p["bias"].astype(self.dtype))
+        qkv = x.astype(self.dtype) @ jnp.concatenate(ws, axis=1)
+        if self.attn_bias:
+            qkv = qkv + jnp.concatenate(bs, axis=0)
+        return jnp.split(qkv, 3, axis=-1)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         """Full-sequence forward (training). Uses the (B, N, H, D)-layout
         entry so the packed Pallas kernel consumes the projection output
@@ -113,9 +134,7 @@ class MultiHeadSelfAttention(nn.Module):
         Returns: (attn_out (B,1,C), k_new (B,1,C), v_new (B,1,C))
         """
         x = self._token_shift(x, prev=shift_prev)
-        q = self.query_p(x)                           # (B, 1, C)
-        k_new = self.key_p(x)
-        v_new = self.value_p(x)
+        q, k_new, v_new = self._fused_qkv(x)          # (B, 1, C) each
         scale = jnp.asarray(self.head_dim**-0.5, q.dtype)
         y = decode_attention(q[:, 0] * scale, k_cache, v_cache,
                              k_new[:, 0].astype(k_cache.dtype),
