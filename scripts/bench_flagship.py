@@ -23,6 +23,7 @@ import argparse
 import statistics
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -31,6 +32,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def _sync(x) -> float:
     import jax.numpy as jnp
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def _timed_carry(step1, carry, iters=4, trials=3):
+    """Per-step time of a donating train step: the carry (params, opt, loss)
+    is threaded continuously (donated buffers can't be reused), each trial
+    times `iters` chained unique-input steps and syncs on the scalar loss."""
+    ts = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            carry = step1(carry, 10_000 * t + i)
+        _sync(carry[-1])
+        ts.append((time.perf_counter() - t0) / iters)
+    return statistics.median(ts), carry
 
 
 def _timed(fn, x0, iters=8, trials=3):
@@ -61,32 +76,43 @@ def bench_layer():
     b, n, c, h = 4, 1025, 6144, 16
     blk = Block(embed_dim=c, n_heads=h, cond_len=1, dtype=jnp.bfloat16)
     x0 = jax.random.normal(jax.random.PRNGKey(0), (b, n, c), jnp.bfloat16)
+    # params ride as ARGUMENTS — closing over them bakes ~450MB of constants
+    # into the HLO (minutes of MLIR conversion + a relay-killing upload)
     params = blk.init(jax.random.PRNGKey(1), x0)
 
     @jax.jit
-    def fwd(x, i):
-        return blk.apply(params, x + i * jnp.bfloat16(1e-8))
+    def fwd(p, x, i):
+        return blk.apply(p, x + i * jnp.bfloat16(1e-8))
 
     @jax.jit
-    def fwdbwd(x, i):
-        def loss(xi):
-            return jnp.sum(blk.apply(params, xi).astype(jnp.float32) ** 2)
-        g = jax.grad(loss)(x + i * jnp.bfloat16(1e-8))
-        return g
+    def fwdbwd(p, x, i):
+        # grads wrt params AND input — the real per-layer training cost
+        # (x-only grads let XLA DCE every dW matmul)
+        def loss(pi, xi):
+            return jnp.sum(blk.apply(pi, xi).astype(jnp.float32) ** 2)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(p, x + i * jnp.bfloat16(1e-8))
+        # consume EVERY param grad — an unused leaf lets XLA DCE its dW matmul
+        gp_sum = sum(l.sum().astype(jnp.float32)
+                     for l in jax.tree.leaves(gp))
+        return gx + gp_sum.astype(gx.dtype)
 
-    _sync(fwd(x0, jnp.bfloat16(0)))
-    t_f = _timed(lambda x, i: fwd(x, jnp.bfloat16(i * 1e-6)), x0)
-    _sync(fwdbwd(x0, jnp.bfloat16(0)))
-    t_fb = _timed(lambda x, i: fwdbwd(x, jnp.bfloat16(i * 1e-6)), x0)
+    def _flops(jitted, *a):
+        try:
+            return float(jitted.lower(*a).compile().cost_analysis()["flops"])
+        except Exception:
+            return float("nan")
 
-    # FLOPs: projections 4*2*B*N*C^2, attention 4*B*N^2*C, FFN 2*2*B*N*C*4C
-    proj = 4 * 2 * b * n * c * c
-    attn = 4 * b * n * n * c
-    ffn = 2 * 2 * b * n * c * 4 * c
-    fl = proj + attn + ffn
-    print(f"[gpt-6144d layer] fwd {t_f*1e3:.2f} ms  "
-          f"({fl/t_f/1e12:.1f} TFLOP/s), fwd+bwd {t_fb*1e3:.2f} ms "
-          f"({3*fl/t_fb/1e12:.1f} TFLOP/s of {fl/1e9:.0f} GF fwd)")
+    _sync(fwd(params, x0, jnp.bfloat16(0)))
+    t_f = _timed(lambda x, i: fwd(params, x, jnp.bfloat16(i * 1e-6)), x0)
+    _sync(fwdbwd(params, x0, jnp.bfloat16(0)))
+    t_fb = _timed(lambda x, i: fwdbwd(params, x, jnp.bfloat16(i * 1e-6)), x0)
+
+    fl_f = _flops(fwd, params, x0, jnp.bfloat16(0))
+    fl_fb = _flops(fwdbwd, params, x0, jnp.bfloat16(0))
+    print(f"[gpt-6144d layer] fwd {t_f*1e3:.2f} ms "
+          f"({fl_f/t_f/1e12:.1f} TFLOP/s of {fl_f/1e9:.0f} GF), "
+          f"fwd+bwd {t_fb*1e3:.2f} ms "
+          f"({fl_fb/t_fb/1e12:.1f} TFLOP/s of {fl_fb/1e9:.0f} GF)")
     return t_f, t_fb
 
 
@@ -111,7 +137,9 @@ def bench_train(n_layers=2):
     tx = optax.adamw(1e-4)
     opt = tx.init(params)
 
-    @jax.jit
+    # donate params+opt: without donation XLA double-buffers the ~13 GB
+    # fp32 AdamW state and the 2-layer slice RESOURCE_EXHAUSTs on 16 GB HBM
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt, codes):
         def loss(p):
             logits = m.apply({"params": p}, codes, conds)
@@ -128,12 +156,11 @@ def bench_train(n_layers=2):
           f"{n_params/1e9:.2f}B params")
 
     def one(carry, i):
-        params, opt = carry
+        params, opt, _ = carry
         codes = jnp.full((b, 1024), i % 8192, jnp.int32)
-        params, opt, l = step(params, opt, codes)
-        return (params, opt)
+        return step(params, opt, codes)
 
-    t = _timed(one, (params, opt), iters=4, trials=3)
+    t, _ = _timed_carry(one, (params, opt, l), iters=4, trials=3)
     tok = b * 1024 / t
     print(f"[gpt-6144d train {n_layers}L] {t*1e3:.1f} ms/step "
           f"({tok:.0f} tok/s, b{b}, AdamW fp32 state, remat)")
@@ -205,7 +232,7 @@ def bench_rq(train_batch=4, sample_batch=4):
     tx = optax.adamw(1e-4)
     opt = tx.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt, codes):
         def loss(p):
             logits = m.apply({"params": p}, codes, conds)
@@ -223,12 +250,12 @@ def bench_rq(train_batch=4, sample_batch=4):
           f"{n_params/1e9:.2f}B params")
 
     def one(carry, i):
-        params, opt = carry
+        params, opt, _ = carry
         codes = jnp.full((b, 1024, 4), i % 8192, jnp.int32)
-        params, opt, l = step(params, opt, codes)
-        return (params, opt)
+        return step(params, opt, codes)
 
-    t = _timed(one, (params, opt), iters=4, trials=3)
+    (t, (params, opt, _)) = _timed_carry(one, (params, opt, l),
+                                         iters=4, trials=3)
     print(f"[rq-1536d train 24L+4L] {t*1e3:.1f} ms/step "
           f"({b*1024*4/t:.0f} tok/s, b{b}, AdamW, remat)")
 
@@ -263,7 +290,13 @@ def main():
     if args.part in ("all", "layer"):
         bench_layer()
     if args.part in ("all", "train"):
-        bench_train(args.layers or 2)
+        for nl in ([args.layers] if args.layers else [2, 1]):
+            try:
+                bench_train(nl)
+                break
+            except Exception as e:  # RESOURCE_EXHAUSTED -> try thinner slice
+                print(f"[gpt-6144d train {nl}L] failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
     if args.part in ("all", "decode"):
         bench_decode(args.layers or 8)
     if args.part in ("all", "rq"):

@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""GAN training-step profile for the ViT-VQGAN-Base config (VERDICT r2 #5).
+
+Times the pieces of the full adversarial step separately (the split-step
+programs ARE the production alternative, so their times are the breakdown),
+sweeps the training batch, and reports training MFU from XLA's own
+cost_analysis of the exact compiled programs.
+
+Usage: python scripts/bench_train_breakdown.py [--batches 8 16 32]
+"""
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+PEAK = 197e12  # v5e bf16
+
+
+def _sync(x) -> float:
+    import jax.numpy as jnp
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def build(batch: int, remat: bool):
+    import jax.numpy as jnp
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    from enhancing_tpu.train.optim import make_ae_optimizer
+    from enhancing_tpu.train.steps import (GANTrainState,
+                                           make_vitvq_train_steps_split)
+
+    enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072, remat=remat)
+    model = ViTVQ(
+        image_size=256, patch_size=8, encoder=enc, decoder=enc,
+        quantizer=dict(embed_dim=32, n_embed=8192), dtype="bfloat16",
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 256, "perceptual_weight": 1.0,
+                         "adversarial_weight": 1.0}})
+    loss_obj = model.loss
+    ae_tx = make_ae_optimizer(1e-4, None, 1)
+    disc_tx = make_ae_optimizer(1e-4, None, 1)
+    state = GANTrainState(
+        step=jnp.ones((), jnp.int32) * 10_000,  # past disc warmup
+        ae_params=model.params, ae_opt=ae_tx.init(model.params),
+        disc_params=loss_obj.disc_init_params,
+        disc_opt=disc_tx.init(loss_obj.disc_init_params),
+        lpips_params=loss_obj.lpips_params)
+    ae_step, disc_step = make_vitvq_train_steps_split(model, loss_obj,
+                                                      ae_tx, disc_tx)
+    return model, state, ae_step, disc_step
+
+
+def timed(fn, state, x0, iters=10, trials=3):
+    import jax
+    import jax.numpy as jnp
+
+    def run(n, tag):
+        s = state
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, log = fn(s, x0 + jnp.bfloat16((tag + i) * 1e-6))
+        _sync(jax.tree.leaves(log)[0])
+        return time.perf_counter() - t0
+
+    ts = []
+    for t in range(trials):
+        ts.append((run(2 + iters, 100 + t) - run(2, 10_000 + t)) / iters)
+    return statistics.median(ts)
+
+
+def flops_of(jitted, *args) -> float:
+    try:
+        return float(jitted.lower(*args).compile().cost_analysis()["flops"])
+    except Exception:
+        return float("nan")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
+    args = ap.parse_args()
+    from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
+    maybe_enable_from_env()
+    import jax
+    import jax.numpy as jnp
+
+    for batch in args.batches:
+        remat = batch >= 32
+        model, state, ae_step, disc_step = build(batch, remat)
+        x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                                (batch, 256, 256, 3), jnp.bfloat16)
+        rng = jax.random.PRNGKey(1)
+        temp = jnp.float32(1.0)
+
+        def ae(s, x):
+            return ae_step(s, x, rng, temp)
+
+        def d(s, x):
+            return disc_step(s, x, rng, temp, do_r1=False)
+
+        def d_r1(s, x):
+            return disc_step(s, x, rng, temp, do_r1=True)
+
+        s1, _ = ae(state, x0)
+        _sync(s1.step)
+        t_ae = timed(ae, state, x0)
+        s2, _ = d(state, x0)
+        _sync(s2.step)
+        t_d = timed(d, state, x0)
+        s3, _ = d_r1(state, x0)
+        _sync(s3.step)
+        t_r1 = timed(d_r1, state, x0, iters=4)
+
+        fl_ae = flops_of(ae_step, state, x0, rng, temp)
+        fl_d = flops_of(disc_step, state, x0, rng, temp)
+        total = t_ae + t_d
+        fl = fl_ae + fl_d
+        r1_surcharge = (t_r1 - t_d)
+        # amortized over the do_r1_every=16 cadence
+        amort = total + r1_surcharge / 16
+        print(f"[gan-step b{batch}{' remat' if remat else ''}] "
+              f"ae {t_ae*1e3:.1f} ms + disc {t_d*1e3:.1f} ms = "
+              f"{total*1e3:.1f} ms ({batch/total:.1f} img/s); "
+              f"R1 step {t_r1*1e3:.1f} ms (+{r1_surcharge*1e3:.1f}, "
+              f"amortized/16 -> {amort*1e3:.1f} ms); "
+              f"MFU {fl/total/PEAK*100:.1f}% "
+              f"({fl_ae/1e9:.0f}+{fl_d/1e9:.0f} GF)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
