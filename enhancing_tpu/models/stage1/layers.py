@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from ...ops.attention import multihead_attention_bnhd
 from ...ops.ffn import fused_ffn
+from ...ops.ln_gemm import fused_ln_gemm
 
 Size = Union[int, Tuple[int, int], Sequence[int]]
 
@@ -77,13 +78,30 @@ class _DenseParams(nn.Module):
 
     features_in: int
     features_out: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", dense_init,
                        (self.features_in, self.features_out))
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", nn.initializers.zeros, (self.features_out,))
         return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter holder with nn.LayerNorm's tree layout (scale/bias) — the
+    block owns the LN params so they can feed the fused LN->GEMM kernel
+    (ops/ln_gemm.py) while checkpoints keep the LayerNorm-based layout."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
 
 
 def resolve_ffn_impl(ffn_impl: str | None) -> str:
@@ -116,15 +134,26 @@ class FeedForward(nn.Module):
     ffn_impl: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln=None) -> jax.Array:
+        """``ln=(scale, bias)`` fuses the preceding LayerNorm into the fc1
+        GEMM (ops/ln_gemm.py) so the normalized activation never leaves
+        VMEM; ``ln=None`` keeps the plain (pre-normalized input) path."""
         if resolve_ffn_impl(self.ffn_impl) == "fused":
+            if ln is not None:
+                from ...ops.ln_gemm import layernorm_xla
+                x = layernorm_xla(x.astype(self.dtype), ln[0], ln[1])
             w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
             w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
             return fused_ffn(x.astype(self.dtype), w1, b1, w2, b2,
                              activation="tanh", impl="pallas")
-        x = nn.Dense(self.hidden_dim, kernel_init=dense_init,
-                     dtype=self.dtype, name="fc1")(x)
-        x = jnp.tanh(x)
+        if ln is not None:
+            w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
+            x = fused_ln_gemm(x.astype(self.dtype), ln[0], ln[1], w1, b1,
+                              activation="tanh")
+        else:
+            x = nn.Dense(self.hidden_dim, kernel_init=dense_init,
+                         dtype=self.dtype, name="fc1")(x)
+            x = jnp.tanh(x)
         return nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
                         name="fc2")(x)
 
@@ -143,11 +172,18 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln=None) -> jax.Array:
+        """``ln=(scale, bias)`` fuses the preceding LayerNorm into the QKV
+        GEMM (ops/ln_gemm.py); ``ln=None`` expects a pre-normalized input."""
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
-        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=dense_init,
-                       dtype=self.dtype, name="to_qkv")(x)
+        if ln is not None:
+            wq, _ = _DenseParams(self.dim, inner * 3, use_bias=False,
+                                 name="to_qkv")()
+            qkv = fused_ln_gemm(x.astype(self.dtype), ln[0], ln[1], wq)
+        else:
+            qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=dense_init,
+                           dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # (B, N, H, D) is a free reshape of the projection output — the fused
         # kernel consumes this layout directly, avoiding per-layer transposes
@@ -174,12 +210,17 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        # The block owns the LN params (layout-identical to nn.LayerNorm)
+        # and hands them to the sublayers, which fuse LN into their first
+        # GEMM — XLA cannot fuse an elementwise producer into a dot operand,
+        # so a standalone LN pass costs a full HBM round trip (~12% of the
+        # stage-1 headline step; see ops/ln_gemm.py).
+        ln1 = _LNParams(self.dim, name="norm1")()
         x = x + Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
-                          name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+                          name="attn")(x, ln=ln1)
+        ln2 = _LNParams(self.dim, name="norm2")()
         x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
-                            ffn_impl=self.ffn_impl, name="ff")(h)
+                            ffn_impl=self.ffn_impl, name="ff")(x, ln=ln2)
         return x
 
     def scan_call(self, x: jax.Array, _) -> tuple:

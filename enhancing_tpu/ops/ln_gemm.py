@@ -1,0 +1,183 @@
+"""Fused LayerNorm -> GEMM (+bias, +activation): y = act(LN(x) @ W + b).
+
+Why: on TPU, XLA fuses elementwise ops into a dot's *output* but not into
+its *operands* — a pre-norm transformer therefore pays a full HBM round
+trip (read x, write LN(x), read LN(x) again) for every LayerNorm feeding a
+projection. Measured on the stage-1 headline step (ViT d=768, N=1024,
+b=128 on v5e): the two block LayerNorms cost 16.4 us/img/layer = ~12% of
+the whole step. This kernel computes the row statistics on the fly from
+the x block already resident in VMEM for the GEMM, so the normalized
+activation never exists in HBM.
+
+The reference has no analogue (PyTorch eager pays the same round trip and
+more; reference: enhancing/modules/stage1/layers.py:85-150 applies
+nn.LayerNorm then Linear as separate CUDA launches).
+
+Forward-only Pallas (custom_vjp backward = VJP of the identical XLA twin,
+same pattern as ops/attention.py). The XLA twin reproduces flax
+nn.LayerNorm numerics exactly: fp32 statistics (fast variance), fp32
+normalize + affine, cast to the compute dtype, then a plain dot.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, interpret_mode, use_pallas
+from .partition import partitioned
+
+
+def _act(h, activation: str | None):
+    if activation in (None, "none"):
+        return h
+    if activation == "tanh":
+        return jnp.tanh(h)
+    if activation == "sqrelu":
+        return jnp.square(jax.nn.relu(h))
+    if activation == "gelu":
+        return jax.nn.gelu(h)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def layernorm_xla(x, gamma, beta, eps: float = 1e-5):
+    """flax nn.LayerNorm numerics: fp32 fast-variance stats, fp32 affine,
+    result cast back to x.dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x32 - mean) * (jax.lax.rsqrt(var + eps)
+                        * gamma.astype(jnp.float32)) + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _ln_gemm_xla(x, gamma, beta, w, b, activation, eps):
+    h = jnp.dot(layernorm_xla(x, gamma, beta, eps), w)
+    if b is not None:
+        h = h + b.astype(h.dtype)
+    return _act(h, activation)
+
+
+def _ln_gemm_kernel(x_ref, g_ref, bt_ref, w_ref, b_ref, o_ref, *,
+                    activation: str | None, eps: float):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean, 0.0)
+    xn = (x32 - mean) * (jax.lax.rsqrt(var + eps)
+                         * g_ref[0].astype(jnp.float32)) \
+        + bt_ref[0].astype(jnp.float32)
+    out = jax.lax.dot_general(xn.astype(x_ref.dtype), w_ref[:],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + b_ref[0].astype(jnp.float32)
+    o_ref[:] = _act(out, activation).astype(o_ref.dtype)
+
+
+def _pick_blocks(m, d, n, itemsize):
+    """Measured-best policy (v5e, d=768 bf16 sweep in the module docstring):
+    big row blocks dominate — block_m=512 with the widest n-block whose
+    weight slab stays ~4MB reaches bare-dot GEMM speed (99/137 TFLOP/s at
+    n=2304/3072 vs 95/135 for jnp.dot); VMEM-budget-derived small row blocks
+    measured 30-50% slower."""
+    block_n = n
+    while (block_n > 512 and block_n % 2 == 0
+           and d * block_n * itemsize > 4 * 1024 * 1024):
+        block_n //= 2
+    return min(512, m), block_n
+
+
+def _supported(m, d, n, dtype):
+    return (m >= 8 and d % 128 == 0 and n % 128 == 0
+            and dtype in (jnp.bfloat16, jnp.float32)
+            and d * dtype.itemsize <= 8 * 1024 * 1024)
+
+
+def _ln_gemm_pallas(x, gamma, beta, w, b, activation, eps):
+    m, d = x.shape
+    n = w.shape[1]
+    block_m, block_n = _pick_blocks(m, d, n, x.dtype.itemsize)
+    kernel = functools.partial(_ln_gemm_kernel, activation=activation, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(cdiv(m, block_m), cdiv(n, block_n)),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * n,
+            bytes_accessed=(m * d + d * n + m * n) * x.dtype.itemsize,
+            transcendentals=m * n if activation not in (None, "none") else 0,
+        ),
+        interpret=interpret_mode(),
+    )(x, gamma.reshape(1, -1), beta.reshape(1, -1), w,
+      b.reshape(1, -1))
+
+
+def _ln_gemm_impl(x, gamma, beta, w, b, activation, eps, impl):
+    m, d = x.shape
+    if use_pallas(impl) and _supported(m, d, w.shape[1], x.dtype):
+        return _ln_gemm_pallas(x, gamma, beta, w, b, activation, eps)
+    return _ln_gemm_xla(x, gamma, beta, w, b, activation, eps)
+
+
+# rows (m) shard freely (dp/sp); columns (n) shard with the weight
+# (Megatron column parallel); LN needs each row's full feature axis (d).
+_ln_gemm_part = partitioned(
+    _ln_gemm_impl, "m d, d, d, d n, n -> m n",
+    need_replication=("d",), static_argnums=(5, 6, 7))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _ln_gemm(x, gamma, beta, w, b, activation, eps, impl):
+    return _ln_gemm_part(x, gamma, beta, w, b, activation, eps, impl)
+
+
+def _ln_gemm_fwd(x, gamma, beta, w, b, activation, eps, impl):
+    return (_ln_gemm_part(x, gamma, beta, w, b, activation, eps, impl),
+            (x, gamma, beta, w, b))
+
+
+def _ln_gemm_bwd(activation, eps, impl, res, g):
+    x, gamma, beta, w, b = res
+    _, vjp = jax.vjp(
+        lambda x_, g_, bt_, w_, b_: _ln_gemm_xla(x_, g_, bt_, w_, b_,
+                                                 activation, eps),
+        x, gamma, beta, w, b)
+    return vjp(g)
+
+
+_ln_gemm.defvjp(_ln_gemm_fwd, _ln_gemm_bwd)
+
+
+def fused_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                  w: jax.Array, b: jax.Array | None = None, *,
+                  activation: str | None = None, eps: float = 1e-5,
+                  impl: str | None = "auto") -> jax.Array:
+    """y = act(LayerNorm(x; gamma, beta) @ w + b), LN never touching HBM.
+
+    x: (..., d); gamma/beta: (d,); w: (d, n); b: (n,) or None.
+    Falls back to the exact-flax XLA twin off-TPU, under force_xla_ops, or
+    when the local block misses the Mosaic tiling grid.
+    """
+    batch_shape = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    w = w.astype(x.dtype)
+    bz = jnp.zeros((w.shape[1],), jnp.float32) if b is None else b
+    out = _ln_gemm(x2, gamma, beta, w, bz, activation, eps, impl)
+    return out.reshape(*batch_shape, w.shape[1])

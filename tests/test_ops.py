@@ -345,3 +345,73 @@ def test_attention_gridchunk_matches_xla(rng, b, n, hd, d, cl):
                                                d, block_q=64, k_chunk=64)
     want = att._attention_xla_packed(q, k, v, "prefix_causal", cl, d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=3e-5)
+
+
+def test_fused_ln_gemm_matches_flax_ln_dense(rng):
+    """Pallas LN->GEMM fusion == flax nn.LayerNorm followed by nn.Dense
+    (the XLA twin is bit-exact in fp32; the kernel is allclose)."""
+    from flax import linen as nn
+
+    from enhancing_tpu.ops import ln_gemm
+
+    m, d, n = 72, 256, 384
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, n)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
+            return jnp.tanh(nn.Dense(n, name="fc")(h))
+
+    params = {"params": {"ln": {"scale": g, "bias": bt},
+                         "fc": {"kernel": w, "bias": b}}}
+    want = Ref().apply(params, x)
+
+    twin = ln_gemm._ln_gemm_xla(x, g, bt, w, b, "tanh", 1e-5)
+    np.testing.assert_array_equal(np.asarray(twin), np.asarray(want))
+
+    got = ln_gemm.fused_ln_gemm(x, g, bt, w, b, activation="tanh",
+                                impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    # no-bias / no-activation variant (the QKV projection shape)
+    got2 = ln_gemm.fused_ln_gemm(x, g, bt, w, impl="pallas")
+    want2 = ln_gemm._ln_gemm_xla(x, g, bt, w, None, None, 1e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-6)
+
+
+def test_fused_ln_gemm_grads_match_unfused(rng):
+    from flax import linen as nn
+
+    from enhancing_tpu.ops.ln_gemm import fused_ln_gemm
+
+    m, d, n = 40, 128, 256
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, n)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
+            return jnp.tanh(nn.Dense(n, name="fc")(h))
+
+    def loss_ref(x, g_, bt_, w_, b_):
+        p = {"params": {"ln": {"scale": g_, "bias": bt_},
+                        "fc": {"kernel": w_, "bias": b_}}}
+        return jnp.sum(Ref().apply(p, x) ** 2)
+
+    def loss_fused(x, g_, bt_, w_, b_):
+        return jnp.sum(fused_ln_gemm(x, g_, bt_, w_, b_,
+                                     activation="tanh") ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, g, bt, w, b)
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, g, bt, w, b)
+    for u, v in zip(got, want):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=3e-5)

@@ -221,3 +221,33 @@ def test_gspmd_fallback_infer_sharding_rank_change(devices):
                                       np.asarray(_nearest_xla(z, codebook)))
     finally:
         jax.config.update("jax_use_shardy_partitioner", prev)
+
+
+def test_ln_gemm_dp_tp_no_allgather(devices):
+    """LN->GEMM with rows over 'data' and weight columns over 'model'
+    (Megatron column-parallel) partitions with zero collectives."""
+    from enhancing_tpu.ops.ln_gemm import _ln_gemm_xla, fused_ln_gemm
+
+    mesh = make_mesh(data=4, model=2, devices=devices)
+    rng = np.random.default_rng(3)
+    m, d, n = 64, 128, 256
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, n)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    shx = NamedSharding(mesh, P("data", None))
+    shw = NamedSharding(mesh, P(None, "model"))
+    shb = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    f = jax.jit(lambda *a: fused_ln_gemm(*a, activation="tanh",
+                                         impl="pallas"),
+                in_shardings=(shx, rep, rep, shw, shb))
+    args = (jax.device_put(x, shx), jax.device_put(g, rep),
+            jax.device_put(bt, rep), jax.device_put(w, shw),
+            jax.device_put(b, shb))
+    assert _all_gathers(f, *args) == 0
+    want = _ln_gemm_xla(x, g, bt, w, b, "tanh", 1e-5)
+    np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(want),
+                               atol=2e-5)
