@@ -180,8 +180,18 @@ def bench_decode(n_layers=8, batch=4):
             cond_num_tokens=1, img_num_tokens=1024, n_heads=16,
             n_layers=n_layers, dtype=jnp.bfloat16)
     conds = jnp.zeros((batch, 1), jnp.int32)
-    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((batch, 1024), jnp.int32),
-                conds)
+
+    # serving config: params live in bf16. The cast must be FUSED with init
+    # in one jit — a separate init materializes the full fp32 tree (11+ GB
+    # at 6L) before the cast and OOMs 16 GB HBM
+    @jax.jit
+    def init_bf16(key):
+        vs = m.init(key, jnp.zeros((batch, 1024), jnp.int32), conds)
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            vs)
+
+    vs = init_bf16(jax.random.PRNGKey(0))
     n_params = sum(p.size for p in jax.tree.leaves(vs["params"]))
 
     t0 = time.perf_counter()
@@ -208,7 +218,7 @@ def bench_decode(n_layers=8, batch=4):
     return dt
 
 
-def bench_rq(train_batch=4, sample_batch=4):
+def bench_rq(train_batch=4, sample_batch=4, do_train=True):
     """Shipped RQ flagship (1536d, 24L spatial D=96 + 4L depth D=192):
     full-config AdamW training step and nested sampling."""
     import jax
@@ -243,33 +253,38 @@ def bench_rq(train_batch=4, sample_batch=4):
         updates, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, updates), opt, l
 
-    t0 = time.perf_counter()
-    params, opt, l = step(params, opt, codes0)
-    _sync(l)
-    print(f"[rq-1536d train 24L+4L] compile+first {time.perf_counter()-t0:.0f}s, "
-          f"{n_params/1e9:.2f}B params")
+    if do_train:
+        t0 = time.perf_counter()
+        params, opt, l = step(params, opt, codes0)
+        _sync(l)
+        print(f"[rq-1536d train 24L+4L] compile+first {time.perf_counter()-t0:.0f}s, "
+              f"{n_params/1e9:.2f}B params")
 
-    def one(carry, i):
-        params, opt, _ = carry
-        codes = jnp.full((b, 1024, 4), i % 8192, jnp.int32)
-        return step(params, opt, codes)
+        def one(carry, i):
+            params, opt, _ = carry
+            codes = jnp.full((b, 1024, 4), i % 8192, jnp.int32)
+            return step(params, opt, codes)
 
-    (t, (params, opt, _)) = _timed_carry(one, (params, opt, l),
-                                         iters=4, trials=3)
-    print(f"[rq-1536d train 24L+4L] {t*1e3:.1f} ms/step "
-          f"({b*1024*4/t:.0f} tok/s, b{b}, AdamW, remat)")
+        (t, (params, opt, _)) = _timed_carry(one, (params, opt, l),
+                                             iters=4, trials=3)
+        print(f"[rq-1536d train 24L+4L] {t*1e3:.1f} ms/step "
+              f"({b*1024*4/t:.0f} tok/s, b{b}, AdamW, remat)")
+    # sampling serves from bf16 params (fp32 jit args double the HBM)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
 
     # sampling at the full shipped config
     conds_s = jnp.zeros((sample_batch, 1), jnp.int32)
     vs_s = {"params": params}
     t0 = time.perf_counter()
-    out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(0), top_k=100)
+    _, out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(0), top_k=100)
     _ = np.asarray(out)
     print(f"[rq-1536d sample] compile+first {time.perf_counter()-t0:.0f}s")
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(1 + i),
+        _, out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(1 + i),
                         top_k=100)
         _ = np.asarray(out)
         times.append(time.perf_counter() - t0)
@@ -281,7 +296,7 @@ def bench_rq(train_batch=4, sample_batch=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="all",
-                    choices=["all", "layer", "train", "decode", "rq"])
+                    choices=["all", "layer", "train", "decode", "rq", "rqsample"])
     ap.add_argument("--layers", type=int, default=None,
                     help="depth override for train/decode parts")
     args = ap.parse_args()
@@ -301,6 +316,8 @@ def main():
         bench_decode(args.layers or 8)
     if args.part in ("all", "rq"):
         bench_rq()
+    if args.part == "rqsample":
+        bench_rq(do_train=False)
 
 
 if __name__ == "__main__":

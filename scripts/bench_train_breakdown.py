@@ -71,11 +71,46 @@ def timed(fn, state, x0, iters=10, trials=3):
     return statistics.median(ts)
 
 
-def flops_of(jitted, *args) -> float:
+def count_flops() -> None:
+    """Subprocess (--count-flops): algorithmic FLOPs of the ae/disc steps at
+    b8, from XLA's CPU cost analysis of the pure-XLA twin programs (same
+    honest-MFU basis as bench.py: Pallas cost_estimates report physical
+    MACs and TPU-side counts include padding duplication). Callers scale by
+    batch/8 — algorithmic flops are exactly linear in batch, and the scaled
+    number deliberately excludes remat recompute (MFU counts model flops,
+    not recomputation)."""
+    import json
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from enhancing_tpu.ops.common import force_xla_ops
+
+    model, state, ae_step, disc_step = build(8, remat=False)
+    x0 = jnp.zeros((8, 256, 256, 3), jnp.bfloat16)
+    rng = jax.random.PRNGKey(1)
+    temp = jnp.float32(1.0)
+    with force_xla_ops():
+        fl_ae = float(ae_step.lower(state, x0, rng, temp)
+                      .compile().cost_analysis()["flops"])
+        fl_d = float(disc_step.lower(state, x0, rng, temp, do_r1=False)
+                     .compile().cost_analysis()["flops"])
+    print(json.dumps({"fl_ae_b8": fl_ae, "fl_d_b8": fl_d}))
+
+
+def algorithmic_flops_b8() -> tuple:
+    import json
+    import os
+    import subprocess
+
     try:
-        return float(jitted.lower(*args).compile().cost_analysis()["flops"])
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--count-flops"],
+            capture_output=True, text=True, timeout=1800)
+        d = json.loads(proc.stdout.strip().splitlines()[-1])
+        return d["fl_ae_b8"], d["fl_d_b8"]
     except Exception:
-        return float("nan")
+        return float("nan"), float("nan")
 
 
 def main():
@@ -86,6 +121,8 @@ def main():
     maybe_enable_from_env()
     import jax
     import jax.numpy as jnp
+
+    fl_ae_b8, fl_d_b8 = algorithmic_flops_b8()
 
     for batch in args.batches:
         remat = batch >= 32
@@ -114,8 +151,8 @@ def main():
         _sync(s3.step)
         t_r1 = timed(d_r1, state, x0, iters=4)
 
-        fl_ae = flops_of(ae_step, state, x0, rng, temp)
-        fl_d = flops_of(disc_step, state, x0, rng, temp)
+        fl_ae = fl_ae_b8 * batch / 8
+        fl_d = fl_d_b8 * batch / 8
         total = t_ae + t_d
         fl = fl_ae + fl_d
         r1_surcharge = (t_r1 - t_d)
@@ -131,4 +168,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--count-flops" in sys.argv:
+        count_flops()
+    else:
+        main()
