@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.attention import decode_attention, multihead_attention_bnhd
+from ...ops.attention import (decode_attention, decode_attention_stacked,
+                              multihead_attention_bnhd)
 from ...ops.cache import cache_row_update
 
 normal_init = nn.initializers.normal(stddev=0.02)
@@ -110,7 +111,8 @@ class MultiHeadSelfAttention(nn.Module):
         return self.proj(y.reshape(b, t, c))
 
     def decode(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-               cur_len: jax.Array, shift_prev: jax.Array
+               cur_len: jax.Array, shift_prev: jax.Array,
+               layer: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One-token cached decode — READ-ONLY on the cache.
 
@@ -128,7 +130,12 @@ class MultiHeadSelfAttention(nn.Module):
         Args:
           x: (B, 1, C) current-token activations (already LN'd).
           k_cache / v_cache: (B, ctx_len, C) packed head layout, rows
-            < cur_len valid.
+            < cur_len valid — or the FULL stacked (L, B, ctx_len, C)
+            buffers with ``layer`` selecting this block's slice inside the
+            kernel's index map. Never slice the stack at the caller: an
+            XLA-level slice (scan xs, static [i], or dynamic_index) feeding
+            the kernel materializes a (B, ctx, C) copy of k AND v per layer
+            per token (measured: ~85% of the 16L sampler's step time).
           cur_len: number of valid cache positions before this token.
           shift_prev: (B, C) previous token's LN'd activation for token-shift.
         Returns: (attn_out (B,1,C), k_new (B,1,C), v_new (B,1,C))
@@ -136,10 +143,18 @@ class MultiHeadSelfAttention(nn.Module):
         x = self._token_shift(x, prev=shift_prev)
         q, k_new, v_new = self._fused_qkv(x)          # (B, 1, C) each
         scale = jnp.asarray(self.head_dim**-0.5, q.dtype)
-        y = decode_attention(q[:, 0] * scale, k_cache, v_cache,
-                             k_new[:, 0].astype(k_cache.dtype),
-                             v_new[:, 0].astype(v_cache.dtype), cur_len,
-                             head_dim=self.head_dim)
+        if k_cache.ndim == 4:
+            y = decode_attention_stacked(
+                q[:, 0] * scale, k_cache, v_cache,
+                k_new[:, 0].astype(k_cache.dtype),
+                v_new[:, 0].astype(v_cache.dtype), cur_len,
+                jnp.int32(0) if layer is None else layer,
+                head_dim=self.head_dim)
+        else:
+            y = decode_attention(q[:, 0] * scale, k_cache, v_cache,
+                                 k_new[:, 0].astype(k_cache.dtype),
+                                 v_new[:, 0].astype(v_cache.dtype), cur_len,
+                                 head_dim=self.head_dim)
         return self.proj(y[:, None, :].astype(x.dtype)), k_new, v_new
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
@@ -219,13 +234,15 @@ class Block(nn.Module):
         x = self._sp(x + self.mlp(self.ln2(x)))
         return x
 
-    def decode(self, x, k_cache, v_cache, cur_len, shift_prev):
+    def decode(self, x, k_cache, v_cache, cur_len, shift_prev, layer=None):
         """Returns (x, k_new, v_new, new_shift_state) — cache is read-only;
-        the caller writes the new column into the stacked buffers."""
+        the caller writes the new column into the stacked buffers. With
+        stacked (L, B, ctx, C) caches, ``layer`` picks this block's slice
+        inside the attention kernel (see MultiHeadSelfAttention.decode)."""
         h = self.ln1(x)
         new_shift = h[:, -1, :]
         a, k_new, v_new = self.attn.decode(h, k_cache, v_cache, cur_len,
-                                           shift_prev)
+                                           shift_prev, layer)
         x = x + a
         x = x + self.mlp(self.ln2(x))
         return x, k_new, v_new, new_shift
@@ -247,10 +264,15 @@ class Block(nn.Module):
         return self(x), None
 
     def scan_decode(self, carry, kvs):
-        x, cur_len = carry
-        k, v, shift = kvs
-        x, k2, v2, s2 = self.decode(x, k, v, cur_len, shift)
-        return (x, cur_len), (k2, v2, s2)
+        # The FULL stacked caches ride the CARRY (read-only, returned
+        # unchanged) and each step indexes its layer inside the attention
+        # kernel — as scan xs they would be sliced at the XLA level, which
+        # copies (B, ctx, C) of k and v per layer per decoded token.
+        x, cur_len, k_stack, v_stack = carry
+        shift, layer = kvs
+        x, k2, v2, s2 = self.decode(x, k_stack, v_stack, cur_len, shift,
+                                    layer)
+        return (x, cur_len, k_stack, v_stack), (k2, v2, s2)
 
     def scan_prefill(self, x, kvs):
         k, v = kvs
@@ -380,19 +402,29 @@ class GPT(nn.Module):
         """``window``: static upper bound on cur_len for this step — attention
         reads only the first ``window`` cache positions (a static slice),
         cutting HBM traffic early in the decode when the cache is mostly
-        empty. None reads the full buffer."""
+        empty. None reads the full buffer (the kernel's cur_len chunk
+        elision already skips the empty tail's DMAs).
+
+        The stacked caches are passed WHOLE to every layer — scan carry in
+        the scanned path, full buffers + a static layer index in the
+        unrolled path — and each layer's slice is selected inside the
+        attention kernel's index map. Slicing here (scan xs / k_all[i])
+        costs a (B, ctx, C) copy of k and v per layer per token: measured
+        7.5 ms/step vs 2.0 for the 1024d x 16L sampler at b32."""
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
         k_view = k_all[:, :, :window] if window else k_all
         v_view = v_all[:, :, :window] if window else v_all
         if self.scan_layers:
-            (x, _), (k_news, v_news, s_new) = self.blocks_stack.scan_decode(
-                (x, cur_len), (k_view, v_view, s_all))
+            layer_ix = jnp.arange(self.n_layers, dtype=jnp.int32)
+            (x, _, _, _), (k_news, v_news, s_new) = \
+                self.blocks_stack.scan_decode(
+                    (x, cur_len, k_view, v_view), (s_all, layer_ix))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []
             for i, block in enumerate(self.blocks):
-                x, k, v, s = block.decode(x, k_view[i], v_view[i], cur_len,
-                                          s_all[i])
+                x, k, v, s = block.decode(x, k_view, v_view, cur_len,
+                                          s_all[i], jnp.int32(i))
                 k_cols.append(k)
                 v_cols.append(v)
                 s_cols.append(s)
@@ -590,15 +622,20 @@ class RQTransformer(nn.Module):
             + pos[None, None, :].astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        # stacked caches ride whole (scan carry / static layer index) — the
+        # layer slice happens inside the attention kernel; see
+        # GPT._stack_decode for the copy-per-token measurement
         if self.scan_layers:
-            (x, _), (k_news, v_news, s_new) = self.spatial_stack.scan_decode(
-                (x, cur_len), (k_all, v_all, s_all))
+            layer_ix = jnp.arange(self.spatial_n_layers, dtype=jnp.int32)
+            (x, _, _, _), (k_news, v_news, s_new) = \
+                self.spatial_stack.scan_decode(
+                    (x, cur_len, k_all, v_all), (s_all, layer_ix))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []
             for i, block in enumerate(self.spatial_transformer):
-                x, k, v, s = block.decode(x, k_all[i], v_all[i], cur_len,
-                                          s_all[i])
+                x, k, v, s = block.decode(x, k_all, v_all, cur_len,
+                                          s_all[i], jnp.int32(i))
                 k_cols.append(k)
                 v_cols.append(v)
                 s_cols.append(s)

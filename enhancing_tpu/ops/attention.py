@@ -907,24 +907,28 @@ def _decode_xla(q3, kc, vc, kn, vn, cur_len, head_dim):
 
 def _decode_kernel(cur_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
                    m_acc, l_acc, o_acc, *, block_k: int, head_dim: int,
-                   n_heads: int):
-    """Grid (B, chunks): each program owns one (block_k, H*D) cache tile for
-    one batch row. Heads are handled in ONE matmul per chunk by scoring with
-    a block-diagonal masked-q matrix: row h of (H, HD) keeps only head h's
-    lanes of q, so (H, HD) @ (HD, block_k) contracts to the (H, block_k)
+                   n_heads: int, block_b: int):
+    """Grid (B/block_b, chunks): each program owns a (block_b, block_k, H*D)
+    cache tile. Heads are handled in ONE matmul per row per chunk by scoring
+    with a block-diagonal masked-q matrix: row h of (H, HD) keeps only head
+    h's lanes of q, so (H, HD) @ (HD, block_k) contracts to the (H, block_k)
     per-head score matrix (the zeroed lanes contribute nothing). Online
     softmax runs vectorized over the H sublane rows; at the flush the
-    (H, HD) per-head outputs collapse to (1, HD) through the same mask."""
+    (H, HD) per-head outputs collapse to (1, HD) through the same mask.
+
+    ``block_b`` batch rows share one program: per-program compute is a few
+    thousand MXU cycles against a ~100us-scale grid-step + DMA issue
+    overhead, so per-row grid programs made the decode step overhead-bound
+    (measured 4.5k tok/s at b8 scaling DOWN to 3.3k at b64 — time nearly
+    linear in B, far off the cache-read roofline)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     cur_len = cur_ref[0]
-    q = q_ref[0].astype(jnp.float32)              # (1, HD), pre-scaled
-    hd_total = q.shape[-1]
+    hd_total = q_ref.shape[-1]
     lane_head = jax.lax.broadcasted_iota(
         jnp.int32, (n_heads, hd_total), 1) // head_dim
     row = jax.lax.broadcasted_iota(jnp.int32, (n_heads, hd_total), 0)
     head_mask = (lane_head == row).astype(jnp.float32)       # (H, HD)
-    qm = q * head_mask                                        # (H, HD)
 
     @pl.when(j == 0)
     def _init():
@@ -932,92 +936,134 @@ def _decode_kernel(cur_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
         l_acc[...] = jnp.zeros_like(l_acc)
         o_acc[...] = jnp.zeros_like(o_acc)
 
-    @pl.when(j * block_k < cur_len)
-    def _chunk():
-        k = k_ref[0]                              # (block_k, HD)
-        v = v_ref[0]
-        # Mosaic's default-precision f32 dot runs single-pass bf16 on the
-        # MXU (~1e-2 rel. error); force exact passes for f32 inputs. The
-        # production bf16 cache path is unaffected.
-        prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
-                else None)
-        s = jax.lax.dot_general(qm.astype(k.dtype), k,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(pos < cur_len, s, NEG_INF)  # (H, block_k)
-        m_old = m_acc[...]                        # (H, 1)
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        e = jnp.exp(s - m_new)
-        m_acc[...] = m_new
-        l_acc[...] = l_acc[...] * alpha + jnp.sum(e, axis=-1, keepdims=True)
-        contrib = jax.lax.dot_general(e.astype(v.dtype), v,
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)
-        o_acc[...] = o_acc[...] * alpha + contrib  # (H, HD)
+    for i in range(block_b):
+        qm = q_ref[i].astype(jnp.float32) * head_mask         # (H, HD)
+        sl = slice(i * n_heads, (i + 1) * n_heads)
 
-    @pl.when(j == nj - 1)
-    def _flush():
-        kn = kn_ref[0].astype(jnp.float32)        # (1, HD)
-        vn = vn_ref[0].astype(jnp.float32)
-        s_self = jnp.sum(qm * kn, axis=-1, keepdims=True)    # (H, 1)
-        m_fin = jnp.maximum(m_acc[...], s_self)
-        alpha = jnp.exp(m_acc[...] - m_fin)
-        e_self = jnp.exp(s_self - m_fin)
-        l_fin = l_acc[...] * alpha + e_self
-        o = (o_acc[...] * alpha + e_self * vn) / l_fin       # (H, HD)
-        out = jnp.sum(o * head_mask, axis=0, keepdims=True)  # (1, HD)
-        o_ref[0] = out.astype(o_ref.dtype)
+        @pl.when(j * block_k < cur_len)
+        def _chunk(qm=qm, sl=sl, i=i):
+            k = k_ref[0, i]                       # (block_k, HD)
+            v = v_ref[0, i]
+            # Mosaic's default-precision f32 dot runs single-pass bf16 on
+            # the MXU (~1e-2 rel. error); force exact passes for f32
+            # inputs. The production bf16 cache path is unaffected.
+            prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
+                    else None)
+            s = jax.lax.dot_general(qm.astype(k.dtype), k,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+            pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + j * block_k
+            s = jnp.where(pos < cur_len, s, NEG_INF)  # (H, block_k)
+            m_old = m_acc[sl]                         # (H, 1)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            e = jnp.exp(s - m_new)
+            m_acc[sl] = m_new
+            l_acc[sl] = l_acc[sl] * alpha \
+                + jnp.sum(e, axis=-1, keepdims=True)
+            contrib = jax.lax.dot_general(e.astype(v.dtype), v,
+                                          (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32,
+                                          precision=prec)
+            o_acc[sl] = o_acc[sl] * alpha + contrib   # (H, HD)
+
+        @pl.when(j == nj - 1)
+        def _flush(qm=qm, sl=sl, i=i):
+            kn = kn_ref[i].astype(jnp.float32)        # (1, HD)
+            vn = vn_ref[i].astype(jnp.float32)
+            s_self = jnp.sum(qm * kn, axis=-1, keepdims=True)    # (H, 1)
+            m_fin = jnp.maximum(m_acc[sl], s_self)
+            alpha = jnp.exp(m_acc[sl] - m_fin)
+            e_self = jnp.exp(s_self - m_fin)
+            l_fin = l_acc[sl] * alpha + e_self
+            o = (o_acc[sl] * alpha + e_self * vn) / l_fin        # (H, HD)
+            out = jnp.sum(o * head_mask, axis=0, keepdims=True)  # (1, HD)
+            o_ref[i] = out.astype(o_ref.dtype)
 
 
-def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256):
-    b, m, hd = kc.shape
+def _decode_blocks(b: int, m: int, hd: int, block_k: int) -> tuple[int, int]:
+    """(block_b, block_k) minimizing grid steps: the most batch rows per
+    program whose k+v tiles (double-buffered) stay ~8MB of VMEM — a smaller
+    key chunk is worth it when it buys more rows per program (256KB-scale
+    DMAs already run at full stride efficiency; grid-step count is the
+    overhead that dominated the per-row kernel). Prefers divisors of b so
+    no program carries padded rows."""
+    budget = 8 * 1024 * 1024
+    best = (1, min(block_k, m))
+    best_steps = None
+    for bk in (block_k, 128):
+        bk = min(bk, m)
+        per_row = 2 * 2 * bk * hd * 2           # k+v, double-buffered, bf16
+        cap = max(1, budget // max(per_row, 1))
+        bb = 1
+        for cand in range(1, min(b, cap) + 1):
+            if b % cand == 0:
+                bb = cand
+        steps = cdiv(b, bb) * cdiv(m, bk)
+        if best_steps is None or steps < best_steps:
+            best, best_steps = (bb, bk), steps
+    return best
+
+
+def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
+                   layer=None):
+    """kc/vc: (B, M, HD), or a stacked (L, B, M, HD) cache with ``layer``
+    (traced int32) selecting the live layer INSIDE the BlockSpec index map —
+    the kernel DMAs only that layer's chunks, so callers never slice the
+    stack (a host-level slice materializes a full (B, M, HD) copy per layer
+    per decoded token; measured 4.3k tok/s -> the scan-layers decode was
+    spending ~85% of its time on those copies)."""
+    if kc.ndim == 3:
+        kc = kc[None]
+        vc = vc[None]
+        layer = jnp.int32(0)
+    lnum, b, m, hd = kc.shape
     n_heads = hd // head_dim
-    block_k = min(block_k, m)
+    block_b, block_k = _decode_blocks(b, m, hd, block_k)
     nj = cdiv(m, block_k)
-    cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
+    sc = jnp.stack([jnp.asarray(cur_len, jnp.int32).reshape(()),
+                    jnp.asarray(layer, jnp.int32).reshape(())])
 
-    def kv_index(i, j, cur_ref):
+    def kv_index(i, j, sc_ref):
         # index maps receive (grid indices..., scalar-prefetch refs...);
         # chunks past the filled prefix clamp to the last valid chunk, so
         # consecutive grid steps map to the same block and the DMA is elided
-        last_valid = jnp.maximum(cur_ref[0] - 1, 0) // block_k
-        return (i, jnp.minimum(j, last_valid), 0)
+        last_valid = jnp.maximum(sc_ref[0] - 1, 0) // block_k
+        return (sc_ref[1], i, jnp.minimum(j, last_valid), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nj),
+        grid=(cdiv(b, block_b), nj),
         in_specs=[
-            pl.BlockSpec((1, 1, hd), lambda i, j, cur_ref: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, j, cur_ref: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, j, cur_ref: (i, 0, 0),
+            pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), kv_index,
+            pl.BlockSpec((1, block_b, block_k, hd), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), kv_index,
+            pl.BlockSpec((1, block_b, block_k, hd), kv_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, hd),
-                               lambda i, j, cur_ref: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, 1, hd),
+                               lambda i, j, sc_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_heads, 1), jnp.float32),
-            pltpu.VMEM((n_heads, 1), jnp.float32),
-            pltpu.VMEM((n_heads, hd), jnp.float32),
+            pltpu.VMEM((block_b * n_heads, 1), jnp.float32),
+            pltpu.VMEM((block_b * n_heads, 1), jnp.float32),
+            pltpu.VMEM((block_b * n_heads, hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel, block_k=block_k, head_dim=head_dim,
-                          n_heads=n_heads),
+                          n_heads=n_heads, block_b=block_b),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q3.dtype),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
-    )(cur, q3[:, None, :], kn[:, None, :], vn[:, None, :], kc, vc)
+    )(sc, q3[:, None, :], kn[:, None, :], vn[:, None, :], kc, vc)
     return out[:, 0, :]
 
 
@@ -1038,11 +1084,27 @@ def _decode_impl(q3, kc, vc, kn, vn, cur, head_dim):
     return _decode_xla(q3, kc, vc, kn, vn, cur[0], head_dim)
 
 
+def _decode_stack_impl(q3, kc, vc, kn, vn, sc, head_dim):
+    """Stacked-cache dispatch: kc/vc (L, B, M, HD); sc = [cur_len, layer]."""
+    m, hd = kc.shape[2], kc.shape[3]
+    if _decode_supported(hd, head_dim, m):
+        return _decode_pallas(q3, kc, vc, kn, vn, sc[0], head_dim,
+                              layer=sc[1])
+    k = jax.lax.dynamic_index_in_dim(kc, sc[1], 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(vc, sc[1], 0, keepdims=False)
+    return _decode_xla(q3, k, v, kn, vn, sc[0], head_dim)
+
+
 # batch and whole-head chunks of hd shard freely (tp decode); the cache
 # length axis m must be local in full for the online softmax.
 _decode_part = partitioned(
     _decode_impl, "b hd, b m hd, b m hd, b hd, b hd, u -> b hd",
     need_replication=("m", "u"), static_argnums=(6,))
+
+# the layer axis l rides whole (it is indexed, not computed over)
+_decode_stack_part = partitioned(
+    _decode_stack_impl, "b hd, l b m hd, l b m hd, b hd, b hd, u -> b hd",
+    need_replication=("l", "m", "u"), static_argnums=(6,))
 
 
 def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
@@ -1068,6 +1130,31 @@ def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
         return _decode_part(q3, k_cache, v_cache, k_new, v_new, cur, head_dim)
     return _decode_xla(q3, k_cache, v_cache, k_new, v_new, cur_len, head_dim)
+
+
+def decode_attention_stacked(q3: jax.Array, k_stack: jax.Array,
+                             v_stack: jax.Array, k_new: jax.Array,
+                             v_new: jax.Array, cur_len: jax.Array,
+                             layer: jax.Array, *, head_dim: int,
+                             impl: str | None = "auto") -> jax.Array:
+    """``decode_attention`` against one layer of a stacked (L, B, ctx, H*D)
+    cache, WITHOUT the caller slicing the stack.
+
+    The layer index is resolved inside the Pallas BlockSpec index map (a
+    scalar-prefetch operand), so only that layer's live chunks are DMA'd.
+    This is the layer-scan decode path: slicing the stack at the XLA level
+    (lax.scan xs slicing, or dynamic_index before the kernel) materializes
+    a full (B, ctx, H*D) copy of k AND v per layer per decoded token —
+    measured ~85% of the 1024d x 16L sampler's step time."""
+    lnum, b, m, hd = k_stack.shape
+    if use_pallas(impl) and _decode_supported(hd, head_dim, m):
+        sc = jnp.stack([jnp.asarray(cur_len, jnp.int32).reshape(()),
+                        jnp.asarray(layer, jnp.int32).reshape(())])
+        return _decode_stack_part(q3, k_stack, v_stack, k_new, v_new, sc,
+                                  head_dim)
+    k = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    return _decode_xla(q3, k, v, k_new, v_new, cur_len, head_dim)
 
 
 def multihead_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array, *,

@@ -83,9 +83,30 @@ def partitioned(impl_fn: Callable, rule: str, *,
     static_argnums = tuple(static_argnums)
 
     def partition(*args):
+        # The returned shardings must be CONSISTENT with lower_fn's local
+        # computation — echoing whatever GSPMD picked is not: if a consumer
+        # pinned the result replicated while an operand arrives row-sharded,
+        # the local result is shard-sized and the infra raises "Mismatch in
+        # result shapes". Instead derive every sharding from the rule's
+        # factor map (need_replication dims forced whole); the infra then
+        # reshards operands/results around the op as needed.
         *static, mesh, arg_shapes, result_shape = args
-        arg_shardings = jax.tree.map(lambda s: s.sharding, arg_shapes)
-        result_shardings = jax.tree.map(lambda s: s.sharding, result_shape)
+        leaves = jax.tree.leaves(arg_shapes)
+        fmap = _factor_axes(leaves)
+
+        arg_shardings = jax.tree.unflatten(
+            jax.tree.structure(arg_shapes),
+            [jax.sharding.NamedSharding(
+                mesh,
+                jax.sharding.PartitionSpec(*[fmap.get(f) for f in fs]))
+             for fs, _ in zip(in_factors, leaves)])
+        outs = iter(out_factors)
+        result_shardings = jax.tree.map(
+            lambda _: jax.sharding.NamedSharding(
+                mesh,
+                jax.sharding.PartitionSpec(
+                    *[fmap.get(f) for f in next(outs)])),
+            result_shape)
 
         def lower_fn(*operands):
             return impl_fn(*_merge_args(operands, static, static_argnums))
@@ -102,6 +123,31 @@ def partitioned(impl_fn: Callable, rule: str, *,
         for _di, _f in enumerate(_fs):
             factor_src.setdefault(_f, (_oi, _di))
 
+    def _factor_axes(leaves) -> dict:
+        """One GLOBAL factor -> mesh-axis assignment for this call site,
+        read off each factor's first-appearance operand dim. Each mesh axis
+        is claimed by at most ONE factor (first by rule order): two factors
+        sourced from different operands can both arrive sharded on the same
+        axis (e.g. zero1 shards weights and rows on 'data'), and echoing
+        both into one PartitionSpec is illegal ('duplicate entries'). The
+        loser is replicated; the infra inserts its all-gather."""
+        claimed: set = set()
+        fmap: dict = {}
+        for f in sorted(factor_src, key=lambda f: first_pos[f]):
+            if f in need_replication:
+                continue
+            oi, di = factor_src[f]
+            spec = getattr(leaves[oi].sharding, "spec", None)
+            ax = spec[di] if spec is not None and di < len(spec) else None
+            if ax is None:
+                continue
+            parts = ax if isinstance(ax, tuple) else (ax,)
+            if any(a in claimed for a in parts):
+                continue
+            claimed.update(parts)
+            fmap[f] = ax
+        return fmap
+
     def infer_sharding_from_operands(*args):
         # GSPMD (non-Shardy) fallback. Results can change rank vs the
         # operands (vq 'm d, n d -> m', upfirdn2d 'b h w c -> b i j c'), so
@@ -110,23 +156,13 @@ def partitioned(impl_fn: Callable, rule: str, *,
         # from (replicating need_replication factors and output-only
         # factors), mirroring what the Shardy rule would propagate.
         *static, mesh, arg_shapes, result_shape = args
-        leaves = jax.tree.leaves(arg_shapes)
-
-        def axis_for(f):
-            if f in need_replication or f not in factor_src:
-                return None
-            oi, di = factor_src[f]
-            spec = getattr(leaves[oi].sharding, "spec", None)
-            if spec is None:
-                return None
-            return spec[di] if di < len(spec) else None
-
+        fmap = _factor_axes(jax.tree.leaves(arg_shapes))
         outs = iter(out_factors)
 
         def result_sharding(_):
             fs = next(outs)
             return jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec(*[axis_for(f) for f in fs]))
+                mesh, jax.sharding.PartitionSpec(*[fmap.get(f) for f in fs]))
 
         return jax.tree.map(result_sharding, result_shape)
 

@@ -415,3 +415,44 @@ def test_fused_ln_gemm_grads_match_unfused(rng):
     got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, g, bt, w, b)
     for u, v in zip(got, want):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=3e-5)
+
+
+@pytest.mark.parametrize("b", [6, 8])
+def test_decode_attention_batched_blocks(rng, b):
+    """Batch-blocked decode grid (block_b rows per program) == XLA ref:
+    rows must not leak into each other's accumulator slices."""
+    m, hd, head_dim = 256, 256, 64
+    from enhancing_tpu.ops.attention import _decode_blocks
+    assert _decode_blocks(b, m, hd, 256)[0] == b  # exercises block_b > 1
+    q = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    for cur_len in (1, 130, 255):
+        cl = jnp.int32(cur_len)
+        ref = att._decode_xla(q, kc, vc, kn, vn, cl, head_dim)
+        out = att._decode_pallas(q, kc, vc, kn, vn, cl, head_dim)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_decode_attention_stacked_layer_indexing(rng):
+    """Stacked-cache decode == per-layer 3D decode for every layer index
+    (the BlockSpec index map must pick exactly layer l's chunks)."""
+    from enhancing_tpu.ops.attention import decode_attention_stacked
+    L, b, m, hd, head_dim = 3, 2, 256, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((L, b, m, hd)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    for cur_len in (1, 130, 255):
+        cl = jnp.int32(cur_len)
+        for layer in range(L):
+            want = att._decode_xla(q, ks[layer], vs[layer], kn, vn, cl, head_dim)
+            got = decode_attention_stacked(q, ks, vs, kn, vn, cl,
+                                           jnp.int32(layer),
+                                           head_dim=head_dim, impl="pallas")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-5, rtol=1e-4)
