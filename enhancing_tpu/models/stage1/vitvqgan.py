@@ -40,14 +40,23 @@ class ViTVQModule(nn.Module):
     scan_layers: bool = False
 
     def setup(self) -> None:
+        # per-tower remat/scan_layers keys inside the encoder/decoder dicts
+        # override the model-level flags (lets a config remat only the
+        # deeper tower of an asymmetric model)
         enc = dict(self.encoder)
         dec = dict(self.decoder)
         self.enc = ViTEncoder(image_size=self.image_size, patch_size=self.patch_size,
-                              dtype=self.dtype, remat=self.remat,
-                              scan_layers=self.scan_layers, name="encoder", **enc)
+                              dtype=self.dtype,
+                              remat=enc.pop("remat", self.remat),
+                              scan_layers=enc.pop("scan_layers",
+                                                  self.scan_layers),
+                              name="encoder", **enc)
         self.dec = ViTDecoder(image_size=self.image_size, patch_size=self.patch_size,
-                              dtype=self.dtype, remat=self.remat,
-                              scan_layers=self.scan_layers, name="decoder", **dec)
+                              dtype=self.dtype,
+                              remat=dec.pop("remat", self.remat),
+                              scan_layers=dec.pop("scan_layers",
+                                                  self.scan_layers),
+                              name="decoder", **dec)
         if self.quantizer_type == "vq":
             self.quant = VectorQuantizer(name="quantizer", **dict(self.quantizer))
         elif self.quantizer_type == "gumbel":

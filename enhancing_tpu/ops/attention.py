@@ -255,7 +255,7 @@ def _merge_slab_heads(outs, head_dim: int):
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
                         cond_len: int, block_q: int, heads_per_slab: int,
                         head_dim: int, k_chunk: int = 0,
-                        m_valid: int | None = None):
+                        m_valid: int | None = None, unroll_chunks: int = 0):
     """``k_chunk``: 0 = whole-row softmax over all M keys at once;
     > 0 = online (flash-style) softmax over key chunks. For
     ``prefix_causal`` the chunk loop is a dynamic-bound ``fori_loop`` that
@@ -270,11 +270,15 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
     if m_valid is None:
         m_valid = m_tot
 
-    def scores(qh, k, col0):
+    def scores(qh, k, col0, row_mod: int | None = None):
+        # ``row_mod``: set when qh stacks several heads' copies of the same
+        # q block along rows — row r of the stack is query row r % block_q.
         s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
-            + qi * block_q
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        if row_mod is not None:
+            rows = jax.lax.rem(rows, row_mod)
+        rows = rows + qi * block_q
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
         if mask_mode == "prefix_causal":
             allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
@@ -286,6 +290,51 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
             if (mask_mode == "prefix_causal" or m_valid != m_tot) else s
 
     q_heads = _split_slab_heads(q, head_dim, heads_per_slab)
+
+    if (not k_chunk or k_chunk >= m_tot) and heads_per_slab > 1:
+        # Stack the per-head masked-q copies along ROWS and run ONE
+        # (hps*bq, slab) @ (slab, M) score matmul + ONE softmax + ONE PV
+        # instead of hps half-size chains: same physical MACs, but the
+        # longer row stream keeps the MXU weight tiles resident longer and
+        # the VPU softmax vectorizes over one tall tile.
+        k_all = k_ref[0]                       # (M, slab)
+        v_all = v_ref[0]
+        qs = jnp.concatenate(q_heads, axis=0)  # (hps*bq, slab)
+        if unroll_chunks > 1 and m_tot % unroll_chunks == 0:
+            # Python-UNROLLED online softmax over a few big key chunks:
+            # unlike the fori_loop path (serial semantics), the unrolled
+            # chunks are visible to Mosaic's scheduler at once, so chunk
+            # c+1's score matmul (MXU) can overlap chunk c's exp/rescale
+            # (VPU) — the whole-row path runs MXU -> VPU -> MXU strictly
+            # in sequence and eats the softmax latency raw.
+            ck = m_tot // unroll_chunks
+            parts = []
+            for c in range(unroll_chunks):
+                sl = slice(c * ck, (c + 1) * ck)
+                s_c = scores(qs, k_all[sl], c * ck, row_mod=block_q)
+                parts.append((jnp.max(s_c, axis=-1, keepdims=True), s_c, sl))
+            mx = functools.reduce(jnp.maximum, [p[0] for p in parts])
+            o = None
+            l = None
+            for mx_c, s_c, sl in parts:
+                e_c = jnp.exp(s_c - mx)
+                pv = jnp.dot(e_c.astype(v_all.dtype), v_all[sl],
+                             preferred_element_type=jnp.float32)
+                l_c = jnp.sum(e_c, axis=-1, keepdims=True)
+                o = pv if o is None else o + pv
+                l = l_c if l is None else l + l_c
+            o = o * (1.0 / l)
+        else:
+            s = scores(qs, k_all, 0, row_mod=block_q)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(v_all.dtype), v_all,
+                        preferred_element_type=jnp.float32) * r
+        outs = [o[h * block_q:(h + 1) * block_q] for h in
+                range(heads_per_slab)]
+        o_ref[0] = _merge_slab_heads(outs, head_dim).astype(o_ref.dtype)
+        return
 
     outs = []
     for qh in q_heads:
@@ -516,11 +565,13 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
         v3 = jnp.pad(v3, ((0, 0), (0, m_pad - m), (0, 0)))
         m = m_pad
 
+    unroll_chunks = int(os.environ.get("ENHANCING_TPU_ATTN_UNROLL", "0"))
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, mask_mode=mask_mode,
                           cond_len=cond_len, block_q=block_q,
                           heads_per_slab=heads_per_slab, head_dim=head_dim,
-                          k_chunk=k_chunk, m_valid=m_valid),
+                          k_chunk=k_chunk, m_valid=m_valid,
+                          unroll_chunks=unroll_chunks),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), q3.dtype),
         grid=grid,
         in_specs=[

@@ -35,7 +35,10 @@ def _fused_xla(x: jax.Array, bias: jax.Array, slope: float, scale: float
 
 def _kernel(x_ref, b_ref, o_ref, *, slope: float, scale: float):
     t = x_ref[:] + b_ref[:].astype(x_ref.dtype)
-    o_ref[:] = (scale * jnp.where(t >= 0, t, slope * t)).astype(o_ref.dtype)
+    # Mosaic rejects sub-f32 comparisons on v5e ("Target does not support
+    # this comparison" with a bf16 x); predicate in f32 — same VPU pass
+    pred = t.astype(jnp.float32) >= 0
+    o_ref[:] = (scale * jnp.where(pred, t, slope * t)).astype(o_ref.dtype)
 
 
 def _fused_pallas2d(x2: jax.Array, b2: jax.Array, slope: float, scale: float

@@ -24,7 +24,7 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def build(batch: int, remat: bool):
+def build(batch: int, remat: bool, disc_bf16: bool = False):
     import jax.numpy as jnp
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
     from enhancing_tpu.train.optim import make_ae_optimizer
@@ -32,13 +32,19 @@ def build(batch: int, remat: bool):
                                            make_vitvq_train_steps_split)
 
     enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072, remat=remat)
+    loss_params = {"image_size": 256, "perceptual_weight": 1.0,
+                   "adversarial_weight": 1.0}
+    if disc_bf16:
+        # mixed-precision D (params f32, compute bf16) — the analogue of
+        # the reference's Lightning AMP `-a` flag, which also runs the
+        # discriminator in half precision
+        loss_params["disc_params"] = {"dtype": "bfloat16"}
     model = ViTVQ(
         image_size=256, patch_size=8, encoder=enc, decoder=enc,
         quantizer=dict(embed_dim=32, n_embed=8192), dtype="bfloat16",
         loss={"target":
               "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
-              "params": {"image_size": 256, "perceptual_weight": 1.0,
-                         "adversarial_weight": 1.0}})
+              "params": loss_params})
     loss_obj = model.loss
     ae_tx = make_ae_optimizer(1e-4, None, 1)
     disc_tx = make_ae_optimizer(1e-4, None, 1)
@@ -58,7 +64,11 @@ def timed(fn, state, x0, iters=10, trials=3):
     import jax.numpy as jnp
 
     def run(n, tag):
-        s = state
+        # the step DONATES its state arg; reusing ``state`` across run()s
+        # dispatches against deleted buffers (the relay reports it as a
+        # bare InvalidArgument at the NEXT op). Copy per run; the copy cost
+        # cancels in the marginal-time subtraction.
+        s = jax.tree.map(jnp.copy, state)
         t0 = time.perf_counter()
         for i in range(n):
             s, log = fn(s, x0 + jnp.bfloat16((tag + i) * 1e-6))
@@ -116,17 +126,29 @@ def algorithmic_flops_b8() -> tuple:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--phase", choices=["all", "ae", "d", "r1"],
+                    default="all",
+                    help="time one phase only (per-phase subprocesses keep "
+                         "peak HBM down at b32: one held state + one copy "
+                         "+ that phase's activations)")
+    ap.add_argument("--disc_bf16", action="store_true",
+                    help="mixed-precision discriminator (bf16 compute)")
+    ap.add_argument("--no-flops", action="store_true",
+                    help="skip the CPU cost-analysis subprocess (phase runs "
+                         "print raw ms only)")
     args = ap.parse_args()
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
     import jax
     import jax.numpy as jnp
 
-    fl_ae_b8, fl_d_b8 = algorithmic_flops_b8()
+    fl_ae_b8, fl_d_b8 = ((float("nan"), float("nan")) if args.no_flops
+                         else algorithmic_flops_b8())
 
     for batch in args.batches:
         remat = batch >= 32
-        model, state, ae_step, disc_step = build(batch, remat)
+        model, state, ae_step, disc_step = build(batch, remat,
+                                                  args.disc_bf16)
         x0 = jax.random.uniform(jax.random.PRNGKey(0),
                                 (batch, 256, 256, 3), jnp.bfloat16)
         rng = jax.random.PRNGKey(1)
@@ -141,15 +163,29 @@ def main():
         def d_r1(s, x):
             return disc_step(s, x, rng, temp, do_r1=True)
 
-        s1, _ = ae(state, x0)
-        _sync(s1.step)
-        t_ae = timed(ae, state, x0)
-        s2, _ = d(state, x0)
-        _sync(s2.step)
-        t_d = timed(d, state, x0)
-        s3, _ = d_r1(state, x0)
-        _sync(s3.step)
-        t_r1 = timed(d_r1, state, x0, iters=4)
+        def fresh():
+            # never hand the original (donated-arg) state to a step — see
+            # the note in timed()
+            return jax.tree.map(jnp.copy, state)
+
+        def phase(name, fn, iters=10):
+            # drop the warmup's returned state before timing — extra live
+            # GAN states alongside the original exhaust 16 GB HBM at b16+
+            s, _ = fn(fresh(), x0)
+            _sync(s.step)
+            del s
+            return timed(fn, state, x0, iters=iters)
+
+        if args.phase != "all":
+            fn = {"ae": ae, "d": d, "r1": d_r1}[args.phase]
+            t = phase(args.phase, fn, iters=4 if args.phase == "r1" else 10)
+            print(f"[gan-phase b{batch}{' remat' if remat else ''} "
+                  f"{args.phase}] {t*1e3:.1f} ms", flush=True)
+            continue
+
+        t_ae = phase("ae", ae)
+        t_d = phase("d", d)
+        t_r1 = phase("r1", d_r1, iters=4)
 
         fl_ae = fl_ae_b8 * batch / 8
         fl_d = fl_d_b8 * batch / 8

@@ -110,6 +110,37 @@ def test_fused_leaky_relu(rng):
     np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
 
 
+def test_fused_leaky_relu_bf16_pallas(rng, monkeypatch):
+    """bf16 inputs through the Pallas kernel (interpret): the sign predicate
+    must be computed in f32 — Mosaic rejects bf16 comparisons on v5e."""
+    monkeypatch.setenv("ENHANCING_TPU_PALLAS_INTERPRET", "1")
+    x = jnp.asarray(rng.standard_normal((16, 8, 8, 16)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    ref = _fused_xla(x, b, 0.2, 2**0.5)
+    out = fused_leaky_relu(x, b, impl="pallas")
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-2)
+
+
+def test_style_discriminator_bf16(rng):
+    """Mixed-precision D (disc_params dtype=bfloat16): fwd + grads finite,
+    logits track the f32 tower loosely — the AMP analogue of the
+    reference's `-a` flag (reference main.py precision=16)."""
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    d32 = StyleDiscriminator(size=32)
+    vs = d32.init(jax.random.PRNGKey(0), x)
+    d16 = StyleDiscriminator(size=32, dtype=jnp.bfloat16)
+    l32 = d32.apply(vs, x)
+    l16 = d16.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(l16, np.float32),
+                               np.asarray(l32, np.float32),
+                               atol=0.15, rtol=0.1)
+    g = jax.grad(lambda p: jnp.sum(d16.apply(p, x)))(vs)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
 def test_minibatch_stddev(rng):
     x = jnp.asarray(rng.standard_normal((4, 4, 4, 8)), jnp.float32)
     out = minibatch_stddev(x)
