@@ -454,13 +454,21 @@ class GPT(nn.Module):
                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """token: (B,) code sampled at position step-1 (step >= 1).
 
+        ``step``: int32 scalar (the lockstep sampler), or a (B,) vector of
+        per-row positions — a RAGGED batch where every row advances its own
+        sequence independently (continuous-batching serving; the per-row
+        lengths flow into the decode-attention kernel's masks and the
+        cache-row writes).
+
         Returns logits predicting code position ``step``. ``window`` is a
-        static cache-read bound (see _stack_decode).
+        static cache-read bound (see _stack_decode; lockstep only).
         """
         pos = jnp.take(self.pos_emb_code[0], step - 1, axis=0)
-        x = self.tok_emb_code(token)[:, None, :] + pos[None, None, :].astype(self.dtype)
+        pos = (pos[:, None, :] if jnp.ndim(step) else pos[None, None, :])
+        x = self.tok_emb_code(token)[:, None, :] + pos.astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
-        x, cache = self._stack_decode(x, cur_len, cache, window)
+        x, cache = self._stack_decode(x, cur_len, cache,
+                                      None if jnp.ndim(step) else window)
         x = self.layer_norm(x)
         logits = self.head(x[:, -1])
         return logits, cache

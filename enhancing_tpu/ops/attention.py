@@ -934,7 +934,9 @@ _attention_fused_packed.defvjp(_attention_fused_packed_fwd,
 
 
 def _decode_xla(q3, kc, vc, kn, vn, cur_len, head_dim):
-    """Reference path. q3/kn/vn: (B, HD) — q3 pre-scaled; kc/vc: (B, M, HD)."""
+    """Reference path. q3/kn/vn: (B, HD) — q3 pre-scaled; kc/vc: (B, M, HD).
+    ``cur_len``: int32 scalar, or a (B,) vector of per-row valid lengths
+    (ragged batch — continuous-batching serving)."""
     b, m, hd = kc.shape
     h = hd // head_dim
     qh = q3.reshape(b, h, 1, head_dim).astype(jnp.float32)
@@ -945,7 +947,9 @@ def _decode_xla(q3, kc, vc, kn, vn, cur_len, head_dim):
 
     s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
     pos = jnp.arange(m)
-    s = jnp.where(pos[None, None, None, :] < cur_len, s, NEG_INF)
+    bound = (jnp.asarray(cur_len, jnp.int32)[:, None, None, None]
+             if jnp.ndim(cur_len) else cur_len)
+    s = jnp.where(pos[None, None, None, :] < bound, s, NEG_INF)
     s_self = jnp.sum(qh * knh, axis=-1, keepdims=True)          # (B,H,1,1)
     mx = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_self)
     e = jnp.exp(s - mx)
@@ -956,9 +960,9 @@ def _decode_xla(q3, kc, vc, kn, vn, cur_len, head_dim):
     return y.transpose(0, 2, 1, 3).reshape(b, hd).astype(q3.dtype)
 
 
-def _decode_kernel(cur_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
+def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
                    m_acc, l_acc, o_acc, *, block_k: int, head_dim: int,
-                   n_heads: int, block_b: int):
+                   n_heads: int, block_b: int, nb: int):
     """Grid (B/block_b, chunks): each program owns a (block_b, block_k, H*D)
     cache tile. Heads are handled in ONE matmul per row per chunk by scoring
     with a block-diagonal masked-q matrix: row h of (H, HD) keeps only head
@@ -971,10 +975,16 @@ def _decode_kernel(cur_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
     thousand MXU cycles against a ~100us-scale grid-step + DMA issue
     overhead, so per-row grid programs made the decode step overhead-bound
     (measured 4.5k tok/s at b8 scaling DOWN to 3.3k at b64 — time nearly
-    linear in B, far off the cache-read roofline)."""
+    linear in B, far off the cache-read roofline).
+
+    Prefix lengths are PER ROW (ragged batches for continuous-batching
+    serving; a scalar cur_len is broadcast by the wrapper). Prefetch layout
+    ``sc = [layer] ++ per-block max(nb entries) ++ per-row cur (padded)``:
+    the index map bounds each block's chunk DMAs by its rows' max; rows
+    whose own cur is shorter gate the dead chunks out with pl.when."""
+    ib = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    cur_len = cur_ref[0]
     hd_total = q_ref.shape[-1]
     lane_head = jax.lax.broadcasted_iota(
         jnp.int32, (n_heads, hd_total), 1) // head_dim
@@ -990,9 +1000,10 @@ def _decode_kernel(cur_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
     for i in range(block_b):
         qm = q_ref[i].astype(jnp.float32) * head_mask         # (H, HD)
         sl = slice(i * n_heads, (i + 1) * n_heads)
+        cur_len = sc_ref[1 + nb + ib * block_b + i]
 
         @pl.when(j * block_k < cur_len)
-        def _chunk(qm=qm, sl=sl, i=i):
+        def _chunk(qm=qm, sl=sl, i=i, cur_len=cur_len):
             k = k_ref[0, i]                       # (block_k, HD)
             v = v_ref[0, i]
             # Mosaic's default-precision f32 dot runs single-pass bf16 on
@@ -1074,15 +1085,24 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
     n_heads = hd // head_dim
     block_b, block_k = _decode_blocks(b, m, hd, block_k)
     nj = cdiv(m, block_k)
-    sc = jnp.stack([jnp.asarray(cur_len, jnp.int32).reshape(()),
-                    jnp.asarray(layer, jnp.int32).reshape(())])
+    nb = cdiv(b, block_b)
+    # prefetch layout: [layer] ++ per-block chunk bound ++ per-row cur
+    # (scalar cur_len broadcasts to all rows — the lockstep sampler)
+    cur_vec = jnp.broadcast_to(
+        jnp.asarray(cur_len, jnp.int32).reshape(-1), (b,))
+    if nb * block_b != b:
+        cur_vec = jnp.pad(cur_vec, (0, nb * block_b - b))
+    blockmax = jnp.max(cur_vec.reshape(nb, block_b), axis=1)
+    sc = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                          blockmax, cur_vec])
 
     def kv_index(i, j, sc_ref):
         # index maps receive (grid indices..., scalar-prefetch refs...);
-        # chunks past the filled prefix clamp to the last valid chunk, so
-        # consecutive grid steps map to the same block and the DMA is elided
-        last_valid = jnp.maximum(sc_ref[0] - 1, 0) // block_k
-        return (sc_ref[1], i, jnp.minimum(j, last_valid), 0)
+        # chunks past the block's filled prefix clamp to its last valid
+        # chunk, so consecutive grid steps map to the same block and the
+        # DMA is elided
+        last_valid = jnp.maximum(sc_ref[1 + i] - 1, 0) // block_k
+        return (sc_ref[0], i, jnp.minimum(j, last_valid), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1110,7 +1130,7 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel, block_k=block_k, head_dim=head_dim,
-                          n_heads=n_heads, block_b=block_b),
+                          n_heads=n_heads, block_b=block_b, nb=nb),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q3.dtype),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
@@ -1146,6 +1166,24 @@ def _decode_stack_impl(q3, kc, vc, kn, vn, sc, head_dim):
     return _decode_xla(q3, k, v, kn, vn, sc[0], head_dim)
 
 
+def _decode_ragged_impl(q3, kc, vc, kn, vn, cur_b, head_dim):
+    """Per-row cur_len (B,) — continuous-batching serving."""
+    m, hd = kc.shape[1], kc.shape[2]
+    if _decode_supported(hd, head_dim, m):
+        return _decode_pallas(q3, kc, vc, kn, vn, cur_b, head_dim)
+    return _decode_xla(q3, kc, vc, kn, vn, cur_b, head_dim)
+
+
+def _decode_stack_ragged_impl(q3, kc, vc, kn, vn, layer, cur_b, head_dim):
+    m, hd = kc.shape[2], kc.shape[3]
+    if _decode_supported(hd, head_dim, m):
+        return _decode_pallas(q3, kc, vc, kn, vn, cur_b, head_dim,
+                              layer=layer[0])
+    k = jax.lax.dynamic_index_in_dim(kc, layer[0], 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(vc, layer[0], 0, keepdims=False)
+    return _decode_xla(q3, k, v, kn, vn, cur_b, head_dim)
+
+
 # batch and whole-head chunks of hd shard freely (tp decode); the cache
 # length axis m must be local in full for the online softmax.
 _decode_part = partitioned(
@@ -1157,6 +1195,16 @@ _decode_stack_part = partitioned(
     _decode_stack_impl, "b hd, l b m hd, l b m hd, b hd, b hd, u -> b hd",
     need_replication=("l", "m", "u"), static_argnums=(6,))
 
+# ragged variants: the per-row length vector shards WITH the batch rows
+_decode_ragged_part = partitioned(
+    _decode_ragged_impl, "b hd, b m hd, b m hd, b hd, b hd, b -> b hd",
+    need_replication=("m",), static_argnums=(6,))
+
+_decode_stack_ragged_part = partitioned(
+    _decode_stack_ragged_impl,
+    "b hd, l b m hd, l b m hd, b hd, b hd, u, b -> b hd",
+    need_replication=("l", "m", "u"), static_argnums=(7,))
+
 
 def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      k_new: jax.Array, v_new: jax.Array, cur_len: jax.Array,
@@ -1167,17 +1215,24 @@ def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
       q3: (B, H*D) query for the current token, softmax scale pre-folded in.
       k_cache, v_cache: (B, ctx, H*D); only rows < cur_len are valid.
       k_new, v_new: (B, H*D) the current token's key/value (not yet in cache).
-      cur_len: int32 scalar — number of valid cache rows.
+      cur_len: int32 scalar — number of valid cache rows — or a (B,) vector
+        of per-row lengths (ragged batch: continuous-batching serving, where
+        every row is at a different position in its own sequence).
       head_dim: per-head feature size.
 
     Replaces the reference's per-step torch.cat KV concatenation
     (enhancing/modules/stage2/layers.py:68-88). On TPU with 128-aligned
     H*D and any D dividing it (64/96/128/192/384 — both shipped priors)
     this runs the prefix-aware Pallas kernel; cache chunks past cur_len
-    are neither DMA'd nor computed.
+    are neither DMA'd nor computed (per grid block, bounded by the block's
+    longest row in the ragged case).
     """
     b, m, hd = k_cache.shape
     if use_pallas(impl) and _decode_supported(hd, head_dim, m):
+        if jnp.ndim(cur_len):
+            cur = jnp.asarray(cur_len, jnp.int32)
+            return _decode_ragged_part(q3, k_cache, v_cache, k_new, v_new,
+                                       cur, head_dim)
         cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
         return _decode_part(q3, k_cache, v_cache, k_new, v_new, cur, head_dim)
     return _decode_xla(q3, k_cache, v_cache, k_new, v_new, cur_len, head_dim)
@@ -1196,9 +1251,16 @@ def decode_attention_stacked(q3: jax.Array, k_stack: jax.Array,
     This is the layer-scan decode path: slicing the stack at the XLA level
     (lax.scan xs slicing, or dynamic_index before the kernel) materializes
     a full (B, ctx, H*D) copy of k AND v per layer per decoded token —
-    measured ~85% of the 1024d x 16L sampler's step time."""
+    measured ~85% of the 1024d x 16L sampler's step time.
+
+    ``cur_len``: scalar, or a (B,) per-row length vector (ragged batch)."""
     lnum, b, m, hd = k_stack.shape
     if use_pallas(impl) and _decode_supported(hd, head_dim, m):
+        if jnp.ndim(cur_len):
+            return _decode_stack_ragged_part(
+                q3, k_stack, v_stack, k_new, v_new,
+                jnp.asarray(layer, jnp.int32).reshape(1),
+                jnp.asarray(cur_len, jnp.int32), head_dim)
         sc = jnp.stack([jnp.asarray(cur_len, jnp.int32).reshape(()),
                         jnp.asarray(layer, jnp.int32).reshape(())])
         return _decode_stack_part(q3, k_stack, v_stack, k_new, v_new, sc,

@@ -31,7 +31,7 @@ ROWS = 8  # sublane-aligned tile height
 
 
 def _row_write_kernel(cur_ref, news_ref, cache_ref, out_ref):
-    cur = cur_ref[0]
+    cur = cur_ref[pl.program_id(1)]              # this batch row's position
     row_in_tile = cur % ROWS
     tile = cache_ref[0, 0]                       # (ROWS, C)
     new = news_ref[0, 0]                         # (1, C)
@@ -43,10 +43,12 @@ def _row_write_kernel(cur_ref, news_ref, cache_ref, out_ref):
 def _cache_row_update_pallas(cache: jax.Array, news: jax.Array,
                              cur_len: jax.Array) -> jax.Array:
     l, b, ctx, c = cache.shape
-    cur = jnp.asarray(cur_len, jnp.int32).reshape(1)
+    # per-row positions (a scalar broadcasts — the lockstep sampler)
+    cur = jnp.broadcast_to(
+        jnp.asarray(cur_len, jnp.int32).reshape(-1), (b,))
 
     def tile_index(i, j, cur_ref):
-        return (i, j, cur_ref[0] // ROWS, 0)
+        return (i, j, cur_ref[j] // ROWS, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -78,12 +80,19 @@ def cache_row_update(cache: jax.Array, news: jax.Array, cur_len: jax.Array,
     Args:
       cache: (L, B, ctx, C) stacked cache (any dtype).
       news: (L, B, 1, C) the new token's per-layer rows.
-      cur_len: int32 scalar position to write.
+      cur_len: int32 scalar position to write, or a (B,) vector of per-row
+        positions (ragged batch — continuous-batching serving).
     Returns the updated cache (the same buffer on TPU — donated via
     input_output_aliases).
     """
     if (use_pallas(impl) and cache.shape[2] % ROWS == 0
             and cache.shape[3] % 128 == 0):
         return _cache_row_update_pallas(cache, news, cur_len)
+    if jnp.ndim(cur_len):
+        # XLA twin for the ragged case: one masked select over ctx
+        pos = jnp.arange(cache.shape[2])
+        hit = pos[None, :] == jnp.asarray(cur_len, jnp.int32)[:, None]
+        return jnp.where(hit[None, :, :, None], news.astype(cache.dtype),
+                         cache)
     return jax.lax.dynamic_update_slice(
         cache, news.astype(cache.dtype), (0, 0, cur_len, 0))

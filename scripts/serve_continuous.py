@@ -1,0 +1,189 @@
+"""Continuous-batching HTTP serving for the stage-2 GPT prior.
+
+Unlike scripts/serve.py (one exported fixed-batch program; requests padded
+to the export batch and answered in lockstep), this server admits requests
+into a pool of KV-cache SLOTS as they arrive: every decode step advances
+all in-flight requests — each at its own sequence position — through one
+jitted ragged step (models/stage2/batcher.py). A request's latency is its
+own sequence length, not the batch's; the chip never idles while any
+request is pending. The reference has no serving story at all (generation
+happens only inside validation loops: reference
+enhancing/modules/stage2/transformer.py:78-95).
+
+    GET  /healthz            -> {"ok": true, "slots": N, "active": k}
+    POST /generate {"class": 3}            -> {"codes": [...]}
+    POST /generate {"class": 3, "decode": true} -> PNG (needs stage-1)
+
+Usage:
+    python scripts/serve_continuous.py -c fake_gpt_tiny --slots 8 -p 8788
+"""
+import argparse
+import io
+import json
+import queue
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+class BatcherLoop(threading.Thread):
+    """Single thread owning the batcher: admits queued requests whenever a
+    slot frees, steps while anything is active, parks when idle."""
+
+    def __init__(self, batcher):
+        super().__init__(daemon=True)
+        self.batcher = batcher
+        self._queue: "queue.Queue" = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = False
+
+    def generate(self, cond: np.ndarray, timeout: float = 600.0) -> np.ndarray:
+        """Blocking: admit one request, return its codes when it completes."""
+        done = threading.Event()
+        box = {}
+        self._queue.put((cond, done, box))
+        self._wake.set()
+        if not done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return box["codes"]
+
+    def stop(self):
+        self._stop = True
+        self._wake.set()
+
+    def run(self):
+        pending = {}  # rid -> (done, box)
+        while not self._stop:
+            # admit as many queued requests as there are free slots
+            while self.batcher.free_slots():
+                try:
+                    cond, done, box = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                rid = self.batcher.submit(cond)
+                pending[rid] = (done, box)
+            if not self.batcher.num_active():
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                continue
+            for rid, codes in self.batcher.step():
+                done, box = pending.pop(rid)
+                box["codes"] = codes
+                done.set()
+
+
+def make_handler(loop: BatcherLoop, batcher, decode_fn=None):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "slots": batcher.num_slots,
+                                 "active": batcher.num_active()})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                cond = np.asarray([int(req.get("class", 0))], np.int32)
+                codes = loop.generate(cond)
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if req.get("decode") and decode_fn is not None:
+                png = decode_fn(codes)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+            else:
+                self._json(200, {"codes": codes.tolist()})
+
+    return Handler
+
+
+def build_decode_fn(model):
+    """codes (T,) -> PNG bytes through the frozen stage-1 tokenizer."""
+    if getattr(model, "stage1_model", None) is None:
+        return None
+    import jax.numpy as jnp
+    from PIL import Image
+
+    def decode(codes: np.ndarray) -> bytes:
+        pix = model.stage1_model.decode_codes(jnp.asarray(codes)[None])
+        arr = np.asarray(jnp.clip(pix[0], 0.0, 1.0) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "PNG")
+        return buf.getvalue()
+
+    return decode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="stage-2 checkpoint to restore (init_from_ckpt)")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("-p", "--port", type=int, default=8788)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    from enhancing_tpu.utils.config import (initialize_from_config,
+                                            load_config)
+
+    cfg_path = Path(args.config)
+    if not cfg_path.exists():
+        cfg_path = Path(__file__).resolve().parents[1] / "configs" \
+            / f"{args.config}.yaml"
+    cfg = load_config(cfg_path)
+    model = initialize_from_config(cfg.model)
+    if getattr(model, "is_rq", False):
+        p.error("continuous batching serves the GPT prior; the RQ prior's "
+                "nested depth decode is lockstep-only for now")
+    if args.ckpt:
+        model.init_from_ckpt(args.ckpt)
+    batcher = ContinuousGPTBatcher(
+        model.transformer, {"params": model.params}, args.slots,
+        jax.random.PRNGKey(args.seed), temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p)
+    loop = BatcherLoop(batcher)
+    loop.start()
+    handler = make_handler(loop, batcher, build_decode_fn(model))
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port), handler)
+    print(f"[serve_continuous] {args.slots} slots on :{args.port}",
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        loop.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -459,3 +459,61 @@ def test_decode_attention_stacked_layer_indexing(rng):
                                            head_dim=head_dim, impl="pallas")
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=3e-5, rtol=1e-4)
+
+
+def test_decode_attention_ragged_matches_per_row(rng):
+    """(B,) per-row cur_len == per-row scalar decode (continuous batching):
+    rows at different sequence positions in one kernel call."""
+    b, m, hd, head_dim = 8, 256, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    curs = jnp.asarray([1, 7, 63, 128, 129, 200, 255, 256], jnp.int32)
+    out = att.decode_attention(q, kc, vc, kn, vn, curs, head_dim=head_dim,
+                               impl="pallas")
+    for r in range(b):
+        want = att._decode_xla(q[r:r + 1], kc[r:r + 1], vc[r:r + 1],
+                               kn[r:r + 1], vn[r:r + 1], curs[r], head_dim)
+        np.testing.assert_allclose(np.asarray(out[r:r + 1]),
+                                   np.asarray(want), atol=1e-4, rtol=2e-4)
+    # XLA twin agrees with the kernel wholesale
+    ref = att._decode_xla(q, kc, vc, kn, vn, curs, head_dim)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=2e-4)
+
+
+def test_decode_attention_stacked_ragged(rng):
+    from enhancing_tpu.ops.attention import decode_attention_stacked
+    L, b, m, hd, head_dim = 2, 4, 256, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((L, b, m, hd)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    curs = jnp.asarray([3, 130, 255, 64], jnp.int32)
+    for layer in range(L):
+        got = decode_attention_stacked(q, ks, vs, kn, vn, curs,
+                                       jnp.int32(layer), head_dim=head_dim,
+                                       impl="pallas")
+        want = att._decode_xla(q, ks[layer], vs[layer], kn, vn, curs,
+                               head_dim)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=2e-4)
+
+
+def test_cache_row_update_ragged(rng):
+    from enhancing_tpu.ops.cache import cache_row_update
+    L, b, ctx, c = 2, 4, 32, 128
+    cache = jnp.asarray(rng.standard_normal((L, b, ctx, c)), jnp.float32)
+    news = jnp.asarray(rng.standard_normal((L, b, 1, c)), jnp.float32)
+    curs = jnp.asarray([0, 5, 17, 31], jnp.int32)
+    got = cache_row_update(cache, news, curs, impl="pallas")
+    want = np.asarray(cache).copy()
+    for r in range(b):
+        want[:, r, int(curs[r])] = np.asarray(news)[:, r, 0]
+    np.testing.assert_allclose(np.asarray(got), want, atol=0)
+    # XLA twin (ragged) matches too
+    got_x = cache_row_update(cache, news, curs, impl="xla")
+    np.testing.assert_allclose(np.asarray(got_x), want, atol=0)

@@ -156,3 +156,75 @@ def test_sample_rq(rqt):
     assert codes.shape == (2, 8, 3)
     assert logits.shape == (2 * 8, 3, 32)
     assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 32).all()
+
+
+def test_continuous_batcher_matches_lockstep_greedy(gpt):
+    """Staggered admissions through ContinuousGPTBatcher reproduce per-cond
+    greedy lockstep sampling exactly: per-row positions in the ragged step
+    (decode-attention masks, cache-row writes, pos-embed gathers) must not
+    leak across slots."""
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    m, vs = gpt
+    conds = [jnp.asarray([c], jnp.int32) for c in (1, 4, 7)]
+    want = {}
+    for i, c in enumerate(conds):
+        _, codes = sample_gpt(m, vs, c[None, :], jax.random.PRNGKey(9),
+                              top_k=1)
+        want[i] = np.asarray(codes[0])
+
+    b = ContinuousGPTBatcher(m, vs, num_slots=2,
+                             rng=jax.random.PRNGKey(123), top_k=1)
+    rid0 = b.submit(conds[0])
+    for _ in range(3):                        # req 0 runs alone for a bit
+        assert b.step() == []
+    rid1 = b.submit(conds[1])                 # joins mid-flight
+    done = {}
+    while len(done) < 2:
+        for rid, seq in b.step():
+            done[rid] = seq
+            if len(done) == 1:                # a slot just freed: admit #2
+                rid2 = b.submit(conds[2])
+    while True:
+        fin = b.step()
+        if fin:
+            done.update(dict(fin))
+            break
+    assert b.num_active() == 0
+    np.testing.assert_array_equal(done[rid0], want[0])
+    np.testing.assert_array_equal(done[rid1], want[1])
+    np.testing.assert_array_equal(done[rid2], want[2])
+
+
+def test_ragged_decode_step_matches_lockstep(gpt):
+    """decode_step with a (B,) step vector == scalar steps row by row
+    (teacher forcing at mixed positions)."""
+    m, vs = gpt
+    rng = np.random.default_rng(3)
+    codes = jnp.asarray(rng.integers(0, 32, (2, 16)), jnp.int32)
+    conds = jnp.asarray(rng.integers(0, 10, (2, 1)), jnp.int32)
+
+    # build per-row caches by teacher-forcing each row to its own depth
+    cache = m.apply(vs, 2, method="init_cache")
+    _, cache = m.apply(vs, conds, cache, method="prefill")
+    depths = (5, 9)
+    for t in range(1, max(depths)):
+        # advance only rows still below their depth; freezing a row means
+        # re-feeding its position (writes same row, reads unchanged)
+        steps = jnp.asarray([min(t, d - 1) for d in depths], jnp.int32)
+        toks = jnp.stack([codes[r, min(t, depths[r] - 1) - 1]
+                          for r in range(2)])
+        logits_r, cache = m.apply(vs, toks, steps, cache,
+                                  method="decode_step")
+
+    # reference: scalar decode of each row alone at its own position
+    for r, d in enumerate(depths):
+        cache1 = m.apply(vs, 1, method="init_cache")
+        _, cache1 = m.apply(vs, conds[r:r + 1], cache1, method="prefill")
+        for t in range(1, d):
+            logits_s, cache1 = m.apply(
+                vs, codes[r:r + 1, t - 1], jnp.int32(t), cache1,
+                method="decode_step")
+        if d == max(depths):
+            np.testing.assert_allclose(np.asarray(logits_r[r]),
+                                       np.asarray(logits_s[0]),
+                                       atol=1e-5, rtol=1e-5)
