@@ -1,4 +1,4 @@
-"""Continuous-batching decode serving for the GPT prior.
+"""Continuous-batching decode serving for the stage-2 priors.
 
 The reference can only generate in lockstep whole batches (its sample()
 re-concatenates KV tensors for every row every step and every row must be at
@@ -7,17 +7,21 @@ A production server gets requests at arbitrary times: lockstep batching
 either pads every new request to the oldest one's schedule or serves batch
 1 — both waste the chip.
 
-``ContinuousGPTBatcher`` keeps a fixed pool of B cache SLOTS. Every slot
-runs its own sequence at its own position; ONE jitted ragged decode step
-advances all active slots together (per-row positions flow into the Pallas
+The batchers here keep a fixed pool of B cache SLOTS. Every slot runs its
+own sequence at its own position; ONE jitted ragged decode step advances
+all active slots together (per-row positions flow into the Pallas
 decode-attention masks and cache-row writes — see
 ops/attention.decode_attention and ops/cache.cache_row_update). A finished
 slot frees immediately; admission prefills the new request's condition in a
 batch-1 program and scatters the resulting cache rows into the vacated slot
 without touching its neighbours.
 
-All device work is three jitted programs (admission prefill, row scatter,
-ragged step) with static shapes — no retracing as requests come and go.
+``ContinuousGPTBatcher`` serves the GPT prior (one code per step);
+``ContinuousRQBatcher`` serves the RQTransformer (a (D,) residual-code
+column per step — the depth loop runs lockstep across rows, only the
+SPATIAL axis is ragged). All device work is three jitted programs
+(admission prefill, row scatter, ragged step) with static shapes — no
+retracing as requests come and go.
 """
 from __future__ import annotations
 
@@ -29,17 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .sampling import _draw
-
-
-@functools.partial(jax.jit, static_argnames=("module", "temperature",
-                                             "top_k", "top_p"))
-def _admit(module, variables, cond1, rng, temperature, top_k, top_p):
-    """Batch-1 condition prefill: returns (first token (1,), slot cache)."""
-    cache1 = module.apply(variables, 1, method="init_cache")
-    logits0, cache1 = module.apply(variables, cond1, cache1,
-                                   method="prefill")
-    tok0 = _draw(rng, logits0, temperature, top_k, top_p)
-    return tok0, cache1
 
 
 @jax.jit
@@ -58,44 +51,13 @@ def _scatter_slot(cache, cache1, slot):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("module", "temperature",
-                                             "top_k", "top_p"),
-                   donate_argnames=("cache",))
-def _ragged_step(module, variables, tok, steps, active, cache, rng,
-                 temperature, top_k, top_p):
-    """One token for every slot; inactive slots are frozen.
+class _SlotPool:
+    """Slot bookkeeping shared by the GPT and RQ batchers.
 
-    ``steps`` is the per-row position of the token being decoded (>= 1 for
-    active rows). Idle rows run at a clipped position and their sampled
-    token is discarded; their cache write lands on a row that is never read
-    (reads stop strictly below cur_len) and is overwritten at admission.
-    """
-    safe = jnp.clip(steps, 1, module.img_num_tokens)
-    logits, cache = module.apply(variables, tok, safe, cache,
-                                 method="decode_step")
-    nxt = _draw(rng, logits, temperature, top_k, top_p)
-    nxt = jnp.where(active, nxt, tok)
-    steps = jnp.where(active, steps + 1, steps)
-    return nxt, steps, cache
-
-
-class ContinuousGPTBatcher:
-    """Fixed-slot continuous batcher over a GPT prior.
-
-    Args:
-      module: the GPT flax module (bound config).
-      variables: its parameters.
-      num_slots: pool size B — the step program's static batch.
-      rng: base PRNG key.
-      temperature / top_k / top_p: sampling controls (static).
-
-    Usage::
-
-        b = ContinuousGPTBatcher(gpt, params, num_slots=8,
-                                 rng=jax.random.PRNGKey(0), top_k=1)
-        rid = b.submit(cond_row)          # admit whenever a slot is free
-        done = b.step()                   # one token for every active slot
-        # -> [(rid, np.ndarray codes (img_num_tokens,)), ...] as they finish
+    Subclasses define ``_admit_device(cond1, rng) -> (item (1, ...), cache1)``
+    and ``_step_device(active, rng) -> items (B, ...)`` (advancing
+    ``self._tok/self._steps/self._cache`` in place), plus
+    ``self.seq_len`` — sequence length in items.
     """
 
     def __init__(self, module, variables: Dict[str, Any], num_slots: int,
@@ -111,10 +73,9 @@ class ContinuousGPTBatcher:
         self._rng = rng
         self._cache = module.apply(variables, self.num_slots,
                                    method="init_cache")
-        self._tok = jnp.zeros((self.num_slots,), jnp.int32)
         self._steps = jnp.zeros((self.num_slots,), jnp.int32)
         self._slot_req: List[Optional[int]] = [None] * self.num_slots
-        self._results: Dict[int, List[int]] = {}
+        self._results: Dict[int, List[np.ndarray]] = {}
         self._next_id = 0
 
     # -- admission ----------------------------------------------------------
@@ -134,43 +95,38 @@ class ContinuousGPTBatcher:
                                "completes") from None
         self._rng, sub = jax.random.split(self._rng)
         cond1 = jnp.asarray(cond, jnp.int32).reshape(1, -1)
-        tok0, cache1 = _admit(self.module, self.variables, cond1, sub,
-                              self._temperature, self._top_k, self._top_p)
+        item0, cache1 = self._admit_device(cond1, sub)
         self._cache = _scatter_slot(self._cache, cache1, jnp.int32(slot))
-        self._tok = self._tok.at[slot].set(tok0[0])
+        self._set_slot_item(slot, item0)
         self._steps = self._steps.at[slot].set(1)
         rid = self._next_id
         self._next_id += 1
         self._slot_req[slot] = rid
-        self._results[rid] = [int(tok0[0])]
+        self._results[rid] = [np.asarray(item0[0])]
         return rid
 
     # -- decode -------------------------------------------------------------
 
     def step(self) -> List[Tuple[int, np.ndarray]]:
-        """Advance every active slot one token.
+        """Advance every active slot one item.
 
         Returns the requests that completed on this step as
-        ``(request_id, codes (img_num_tokens,) int32)``.
+        ``(request_id, codes)`` — (T,) int32 for GPT, (T, D) for RQ.
         """
         active_host = np.array([r is not None for r in self._slot_req])
         if not active_host.any():
             return []
         self._rng, sub = jax.random.split(self._rng)
-        nxt, steps, cache = _ragged_step(
-            self.module, self.variables, self._tok, self._steps,
-            jnp.asarray(active_host), self._cache, sub,
-            self._temperature, self._top_k, self._top_p)
-        self._tok, self._steps, self._cache = nxt, steps, cache
-        toks = np.asarray(nxt)
+        items = self._step_device(jnp.asarray(active_host), sub)
+        items = np.asarray(items)
         finished: List[Tuple[int, np.ndarray]] = []
         for slot, rid in enumerate(self._slot_req):
             if rid is None:
                 continue
             seq = self._results[rid]
-            seq.append(int(toks[slot]))
-            if len(seq) == self.module.img_num_tokens:
-                finished.append((rid, np.asarray(seq, np.int32)))
+            seq.append(items[slot])
+            if len(seq) == self.seq_len:
+                finished.append((rid, np.stack(seq).astype(np.int32)))
                 self._slot_req[slot] = None
                 del self._results[rid]
         return finished
@@ -186,3 +142,149 @@ class ContinuousGPTBatcher:
             if max_steps is not None and n >= max_steps:
                 break
         return out
+
+
+# ---------------------------------------------------------------------------
+# GPT
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("module", "temperature",
+                                             "top_k", "top_p"))
+def _gpt_admit(module, variables, cond1, rng, temperature, top_k, top_p):
+    cache1 = module.apply(variables, 1, method="init_cache")
+    logits0, cache1 = module.apply(variables, cond1, cache1,
+                                   method="prefill")
+    tok0 = _draw(rng, logits0, temperature, top_k, top_p)
+    return tok0, cache1
+
+
+@functools.partial(jax.jit, static_argnames=("module", "temperature",
+                                             "top_k", "top_p"),
+                   donate_argnames=("cache",))
+def _gpt_ragged_step(module, variables, tok, steps, active, cache, rng,
+                     temperature, top_k, top_p):
+    """One token for every slot; inactive slots are frozen.
+
+    Idle rows run at a clipped position and their sampled token is
+    discarded; their cache write lands on a row that is never read (reads
+    stop strictly below cur_len) and is overwritten at admission.
+    """
+    safe = jnp.clip(steps, 1, module.img_num_tokens)
+    logits, cache = module.apply(variables, tok, safe, cache,
+                                 method="decode_step")
+    nxt = _draw(rng, logits, temperature, top_k, top_p)
+    nxt = jnp.where(active, nxt, tok)
+    steps = jnp.where(active, steps + 1, steps)
+    return nxt, steps, cache
+
+
+class ContinuousGPTBatcher(_SlotPool):
+    """Fixed-slot continuous batcher over a GPT prior.
+
+    Usage::
+
+        b = ContinuousGPTBatcher(gpt, params, num_slots=8,
+                                 rng=jax.random.PRNGKey(0), top_k=1)
+        rid = b.submit(cond_row)          # admit whenever a slot is free
+        done = b.step()                   # one token for every active slot
+        # -> [(rid, np.ndarray codes (img_num_tokens,)), ...] as they finish
+    """
+
+    def __init__(self, module, variables, num_slots, rng, **kw) -> None:
+        super().__init__(module, variables, num_slots, rng, **kw)
+        self._tok = jnp.zeros((self.num_slots,), jnp.int32)
+        self.seq_len = module.img_num_tokens
+
+    def _admit_device(self, cond1, rng):
+        return _gpt_admit(self.module, self.variables, cond1, rng,
+                          self._temperature, self._top_k, self._top_p)
+
+    def _set_slot_item(self, slot, item0):
+        self._tok = self._tok.at[slot].set(item0[0])
+
+    def _step_device(self, active, rng):
+        nxt, steps, cache = _gpt_ragged_step(
+            self.module, self.variables, self._tok, self._steps, active,
+            self._cache, rng, self._temperature, self._top_k, self._top_p)
+        self._tok, self._steps, self._cache = nxt, steps, cache
+        return nxt
+
+
+# ---------------------------------------------------------------------------
+# RQTransformer
+# ---------------------------------------------------------------------------
+
+
+def _rq_depth_loop(module, variables, hidden, rng, temperature, top_k,
+                   top_p):
+    """Sample the (B, D) residual column at one spatial position."""
+    b = hidden.shape[0]
+    dmax = module.depth_num_tokens
+
+    def body(carry, d):
+        codes, rng = carry
+        rng, sub = jax.random.split(rng)
+        logits = module.apply(variables, hidden, codes, d,
+                              method="depth_forward")
+        tok = _draw(sub, logits, temperature, top_k, top_p)
+        codes = jax.lax.dynamic_update_index_in_dim(codes, tok, d, axis=1)
+        return (codes, rng), None
+
+    codes0 = jnp.zeros((b, dmax), jnp.int32)
+    (codes, _), _ = jax.lax.scan(body, (codes0, rng), jnp.arange(dmax))
+    return codes
+
+
+@functools.partial(jax.jit, static_argnames=("module", "temperature",
+                                             "top_k", "top_p"))
+def _rq_admit(module, variables, cond1, rng, temperature, top_k, top_p):
+    cache1 = module.apply(variables, 1, method="init_cache")
+    hidden0, cache1 = module.apply(variables, cond1, cache1,
+                                   method="spatial_prefill")
+    codes0 = _rq_depth_loop(module, variables, hidden0, rng, temperature,
+                            top_k, top_p)
+    return codes0, cache1
+
+
+@functools.partial(jax.jit, static_argnames=("module", "temperature",
+                                             "top_k", "top_p"),
+                   donate_argnames=("cache",))
+def _rq_ragged_step(module, variables, prev_codes, steps, active, cache,
+                    rng, temperature, top_k, top_p):
+    """One (B, D) residual column per call: ragged spatial positions, the
+    depth loop lockstep (d is position-independent)."""
+    safe = jnp.clip(steps, 1, module.img_num_tokens)
+    hidden, cache = module.apply(variables, prev_codes, safe, cache,
+                                 method="spatial_step")
+    codes = _rq_depth_loop(module, variables, hidden, rng, temperature,
+                           top_k, top_p)
+    codes = jnp.where(active[:, None], codes, prev_codes)
+    steps = jnp.where(active, steps + 1, steps)
+    return codes, steps, cache
+
+
+class ContinuousRQBatcher(_SlotPool):
+    """Continuous batcher over an RQTransformer prior: each step yields a
+    (D,) residual-code column per active slot; completed requests return
+    (img_num_tokens, D) int32."""
+
+    def __init__(self, module, variables, num_slots, rng, **kw) -> None:
+        super().__init__(module, variables, num_slots, rng, **kw)
+        self._tok = jnp.zeros((self.num_slots, module.depth_num_tokens),
+                              jnp.int32)
+        self.seq_len = module.img_num_tokens
+
+    def _admit_device(self, cond1, rng):
+        return _rq_admit(self.module, self.variables, cond1, rng,
+                         self._temperature, self._top_k, self._top_p)
+
+    def _set_slot_item(self, slot, item0):
+        self._tok = self._tok.at[slot].set(item0[0])
+
+    def _step_device(self, active, rng):
+        nxt, steps, cache = _rq_ragged_step(
+            self.module, self.variables, self._tok, self._steps, active,
+            self._cache, rng, self._temperature, self._top_k, self._top_p)
+        self._tok, self._steps, self._cache = nxt, steps, cache
+        return nxt

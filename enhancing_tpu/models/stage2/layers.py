@@ -624,10 +624,16 @@ class RQTransformer(nn.Module):
         return hidden, {"k": k_all, "v": v_all, "shift": s_all}
 
     def spatial_step(self, prev_codes: jax.Array, step: jax.Array, cache):
-        """prev_codes: (B, D) codes of the previous spatial position."""
+        """prev_codes: (B, D) codes of the previous spatial position.
+
+        ``step``: int32 scalar, or a (B,) vector of per-row spatial
+        positions (ragged batch — continuous-batching serving). The depth
+        axis needs no raggedness: every row's depth loop runs d=0..D-1
+        lockstep regardless of its spatial position."""
         pos = jnp.take(self.pos_emb_code[0], step - 1, axis=0)
+        pos = (pos[:, None, :] if jnp.ndim(step) else pos[None, None, :])
         x = jnp.sum(self.tok_emb_code(prev_codes), axis=1, keepdims=True) \
-            + pos[None, None, :].astype(self.dtype)
+            + pos.astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
         # stacked caches ride whole (scan carry / static layer index) — the

@@ -2,7 +2,7 @@
 
 Unlike scripts/serve.py (one exported fixed-batch program; requests padded
 to the export batch and answered in lockstep), this server admits requests
-into a pool of KV-cache SLOTS as they arrive: every decode step advances
+into a pool of KV-cache SLOTS as they arrive (GPT and RQ priors): every decode step advances
 all in-flight requests — each at its own sequence position — through one
 jitted ragged step (models/stage2/batcher.py). A request's latency is its
 own sequence length, not the batch's; the chip never idles while any
@@ -154,7 +154,8 @@ def main(argv=None):
 
     import jax
 
-    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    from enhancing_tpu.models.stage2.batcher import (ContinuousGPTBatcher,
+                                                     ContinuousRQBatcher)
     from enhancing_tpu.utils.config import (initialize_from_config,
                                             load_config)
 
@@ -164,12 +165,11 @@ def main(argv=None):
             / f"{args.config}.yaml"
     cfg = load_config(cfg_path)
     model = initialize_from_config(cfg.model)
-    if getattr(model, "is_rq", False):
-        p.error("continuous batching serves the GPT prior; the RQ prior's "
-                "nested depth decode is lockstep-only for now")
     if args.ckpt:
         model.init_from_ckpt(args.ckpt)
-    batcher = ContinuousGPTBatcher(
+    cls = (ContinuousRQBatcher if getattr(model, "is_rq", False)
+           else ContinuousGPTBatcher)
+    batcher = cls(
         model.transformer, {"params": model.params}, args.slots,
         jax.random.PRNGKey(args.seed), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p)

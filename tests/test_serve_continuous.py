@@ -78,3 +78,35 @@ def test_decode_to_png(server):
     assert resp.headers["Content-Type"] == "image/png"
     body = resp.read()
     assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+PORT_RQ = 8792
+
+
+@pytest.fixture(scope="module")
+def rq_server():
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "serve_continuous_rq", root / "scripts" / "serve_continuous.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = ["-c", "fake_rq_tiny", "--slots", "2", "-p", str(PORT_RQ),
+            "--top_k", "1"]
+    t = threading.Thread(target=mod.main, args=(argv,), daemon=True)
+    t.start()
+    import time
+    for _ in range(120):
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT_RQ}/healthz", timeout=1)
+            break
+        except Exception:
+            time.sleep(1)
+    yield f"http://127.0.0.1:{PORT_RQ}"
+
+
+def test_rq_generate(rq_server):
+    out = _generate(rq_server, 4)
+    codes = out["codes"]                    # (T, D) nested lists
+    assert len(codes) == 16 and all(len(c) == 2 for c in codes)
+    assert all(0 <= x < 128 for row in codes for x in row)

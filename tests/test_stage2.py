@@ -228,3 +228,26 @@ def test_ragged_decode_step_matches_lockstep(gpt):
             np.testing.assert_allclose(np.asarray(logits_r[r]),
                                        np.asarray(logits_s[0]),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_continuous_rq_batcher_matches_lockstep_greedy(rqt):
+    """Staggered RQ admissions == per-cond greedy lockstep sample_rq."""
+    from enhancing_tpu.models.stage2.batcher import ContinuousRQBatcher
+    m, vs = rqt
+    conds = [jnp.asarray([c], jnp.int32) for c in (2, 6)]
+    want = {}
+    for i, c in enumerate(conds):
+        _, codes = sample_rq(m, vs, c[None, :], jax.random.PRNGKey(5),
+                             top_k=1)
+        want[i] = np.asarray(codes[0])          # (T, D)
+
+    b = ContinuousRQBatcher(m, vs, num_slots=2,
+                            rng=jax.random.PRNGKey(77), top_k=1)
+    rid0 = b.submit(conds[0])
+    for _ in range(2):
+        assert b.step() == []
+    rid1 = b.submit(conds[1])                   # joins mid-flight
+    done = dict(b.run_until_done())
+    assert b.num_active() == 0
+    np.testing.assert_array_equal(done[rid0], want[0])
+    np.testing.assert_array_equal(done[rid1], want[1])
