@@ -107,28 +107,35 @@ class _SlotPool:
 
     # -- decode -------------------------------------------------------------
 
-    def step(self) -> List[Tuple[int, np.ndarray]]:
-        """Advance every active slot one item.
+    def step(self, n: int = 1) -> List[Tuple[int, np.ndarray]]:
+        """Advance every active slot up to ``n`` items in ONE device
+        dispatch (a jitted lax.scan) — through a dispatch-latency-heavy
+        path (e.g. a network-attached chip) n > 1 amortizes the round
+        trip. Rows that finish mid-scan freeze on device (steps stops at
+        the sequence length) and their surplus items are discarded here.
 
-        Returns the requests that completed on this step as
+        Returns the requests that completed during this call as
         ``(request_id, codes)`` — (T,) int32 for GPT, (T, D) for RQ.
         """
         active_host = np.array([r is not None for r in self._slot_req])
         if not active_host.any():
             return []
         self._rng, sub = jax.random.split(self._rng)
-        items = self._step_device(jnp.asarray(active_host), sub)
-        items = np.asarray(items)
+        items = self._step_device(jnp.asarray(active_host), sub, int(n))
+        items = np.asarray(items)                      # (n, B, ...)
         finished: List[Tuple[int, np.ndarray]] = []
-        for slot, rid in enumerate(self._slot_req):
-            if rid is None:
-                continue
-            seq = self._results[rid]
-            seq.append(items[slot])
-            if len(seq) == self.seq_len:
-                finished.append((rid, np.stack(seq).astype(np.int32)))
-                self._slot_req[slot] = None
-                del self._results[rid]
+        for t in range(items.shape[0]):
+            for slot, rid in enumerate(self._slot_req):
+                if rid is None:
+                    continue
+                seq = self._results[rid]
+                if len(seq) >= self.seq_len:
+                    continue
+                seq.append(items[t, slot])
+                if len(seq) == self.seq_len:
+                    finished.append((rid, np.stack(seq).astype(np.int32)))
+                    self._slot_req[slot] = None
+                    del self._results[rid]
         return finished
 
     def run_until_done(self, max_steps: Optional[int] = None
@@ -159,24 +166,34 @@ def _gpt_admit(module, variables, cond1, rng, temperature, top_k, top_p):
     return tok0, cache1
 
 
-@functools.partial(jax.jit, static_argnames=("module", "temperature",
+@functools.partial(jax.jit, static_argnames=("module", "n", "temperature",
                                              "top_k", "top_p"),
                    donate_argnames=("cache",))
-def _gpt_ragged_step(module, variables, tok, steps, active, cache, rng,
+def _gpt_ragged_step(module, variables, tok, steps, active, cache, rng, n,
                      temperature, top_k, top_p):
-    """One token for every slot; inactive slots are frozen.
+    """``n`` tokens for every slot in one lax.scan; inactive slots are
+    frozen, and a row reaching the sequence end mid-scan freezes too
+    (``steps`` stops at img_num_tokens, its later items are no-ops).
 
     Idle rows run at a clipped position and their sampled token is
     discarded; their cache write lands on a row that is never read (reads
     stop strictly below cur_len) and is overwritten at admission.
     """
-    safe = jnp.clip(steps, 1, module.img_num_tokens)
-    logits, cache = module.apply(variables, tok, safe, cache,
-                                 method="decode_step")
-    nxt = _draw(rng, logits, temperature, top_k, top_p)
-    nxt = jnp.where(active, nxt, tok)
-    steps = jnp.where(active, steps + 1, steps)
-    return nxt, steps, cache
+    def body(carry, _):
+        tok, steps, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        live = active & (steps < module.img_num_tokens)
+        safe = jnp.clip(steps, 1, module.img_num_tokens - 1)
+        logits, cache = module.apply(variables, tok, safe, cache,
+                                     method="decode_step")
+        nxt = _draw(sub, logits, temperature, top_k, top_p)
+        nxt = jnp.where(live, nxt, tok)
+        steps = jnp.where(live, steps + 1, steps)
+        return (nxt, steps, cache, rng), nxt
+
+    (tok, steps, cache, _), toks = jax.lax.scan(
+        body, (tok, steps, cache, rng), None, length=n)
+    return tok, steps, cache, toks
 
 
 class ContinuousGPTBatcher(_SlotPool):
@@ -203,12 +220,13 @@ class ContinuousGPTBatcher(_SlotPool):
     def _set_slot_item(self, slot, item0):
         self._tok = self._tok.at[slot].set(item0[0])
 
-    def _step_device(self, active, rng):
-        nxt, steps, cache = _gpt_ragged_step(
+    def _step_device(self, active, rng, n):
+        tok, steps, cache, toks = _gpt_ragged_step(
             self.module, self.variables, self._tok, self._steps, active,
-            self._cache, rng, self._temperature, self._top_k, self._top_p)
-        self._tok, self._steps, self._cache = nxt, steps, cache
-        return nxt
+            self._cache, rng, n, self._temperature, self._top_k,
+            self._top_p)
+        self._tok, self._steps, self._cache = tok, steps, cache
+        return toks
 
 
 # ---------------------------------------------------------------------------
@@ -247,21 +265,29 @@ def _rq_admit(module, variables, cond1, rng, temperature, top_k, top_p):
     return codes0, cache1
 
 
-@functools.partial(jax.jit, static_argnames=("module", "temperature",
+@functools.partial(jax.jit, static_argnames=("module", "n", "temperature",
                                              "top_k", "top_p"),
                    donate_argnames=("cache",))
 def _rq_ragged_step(module, variables, prev_codes, steps, active, cache,
-                    rng, temperature, top_k, top_p):
-    """One (B, D) residual column per call: ragged spatial positions, the
-    depth loop lockstep (d is position-independent)."""
-    safe = jnp.clip(steps, 1, module.img_num_tokens)
-    hidden, cache = module.apply(variables, prev_codes, safe, cache,
-                                 method="spatial_step")
-    codes = _rq_depth_loop(module, variables, hidden, rng, temperature,
-                           top_k, top_p)
-    codes = jnp.where(active[:, None], codes, prev_codes)
-    steps = jnp.where(active, steps + 1, steps)
-    return codes, steps, cache
+                    rng, n, temperature, top_k, top_p):
+    """``n`` (B, D) residual columns per call: ragged spatial positions,
+    the depth loop lockstep (d is position-independent)."""
+    def body(carry, _):
+        prev_codes, steps, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        live = active & (steps < module.img_num_tokens)
+        safe = jnp.clip(steps, 1, module.img_num_tokens - 1)
+        hidden, cache = module.apply(variables, prev_codes, safe, cache,
+                                     method="spatial_step")
+        codes = _rq_depth_loop(module, variables, hidden, sub, temperature,
+                               top_k, top_p)
+        codes = jnp.where(live[:, None], codes, prev_codes)
+        steps = jnp.where(live, steps + 1, steps)
+        return (codes, steps, cache, rng), codes
+
+    (prev_codes, steps, cache, _), cols = jax.lax.scan(
+        body, (prev_codes, steps, cache, rng), None, length=n)
+    return prev_codes, steps, cache, cols
 
 
 class ContinuousRQBatcher(_SlotPool):
@@ -282,9 +308,10 @@ class ContinuousRQBatcher(_SlotPool):
     def _set_slot_item(self, slot, item0):
         self._tok = self._tok.at[slot].set(item0[0])
 
-    def _step_device(self, active, rng):
-        nxt, steps, cache = _rq_ragged_step(
+    def _step_device(self, active, rng, n):
+        tok, steps, cache, cols = _rq_ragged_step(
             self.module, self.variables, self._tok, self._steps, active,
-            self._cache, rng, self._temperature, self._top_k, self._top_p)
-        self._tok, self._steps, self._cache = nxt, steps, cache
-        return nxt
+            self._cache, rng, n, self._temperature, self._top_k,
+            self._top_p)
+        self._tok, self._steps, self._cache = tok, steps, cache
+        return cols

@@ -35,9 +35,10 @@ class BatcherLoop(threading.Thread):
     """Single thread owning the batcher: admits queued requests whenever a
     slot frees, steps while anything is active, parks when idle."""
 
-    def __init__(self, batcher):
+    def __init__(self, batcher, steps_per_dispatch: int = 1):
         super().__init__(daemon=True)
         self.batcher = batcher
+        self.steps_per_dispatch = steps_per_dispatch
         self._queue: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         self._stop = False
@@ -71,7 +72,7 @@ class BatcherLoop(threading.Thread):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
                 continue
-            for rid, codes in self.batcher.step():
+            for rid, codes in self.batcher.step(self.steps_per_dispatch):
                 done, box = pending.pop(rid)
                 box["codes"] = codes
                 done.set()
@@ -150,6 +151,11 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="decode tokens per device dispatch (one jitted "
+                        "scan); >1 amortizes dispatch latency on "
+                        "network-attached chips at n-token completion "
+                        "granularity")
     args = p.parse_args(argv)
 
     import jax
@@ -173,7 +179,7 @@ def main(argv=None):
         model.transformer, {"params": model.params}, args.slots,
         jax.random.PRNGKey(args.seed), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p)
-    loop = BatcherLoop(batcher)
+    loop = BatcherLoop(batcher, args.steps_per_dispatch)
     loop.start()
     handler = make_handler(loop, batcher, build_decode_fn(model))
     srv = ThreadingHTTPServer(("0.0.0.0", args.port), handler)

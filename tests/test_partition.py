@@ -251,3 +251,34 @@ def test_ln_gemm_dp_tp_no_allgather(devices):
     want = _ln_gemm_xla(x, g, bt, w, b, "tanh", 1e-5)
     np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(want),
                                atol=2e-5)
+
+
+def test_decode_attention_ragged_dp_no_allgather(devices):
+    """Ragged decode: the (B,) per-row cur_len vector shards WITH the batch
+    rows — zero collectives, per-shard kernels see their own rows' lengths."""
+    from enhancing_tpu.ops.attention import _decode_xla, decode_attention
+
+    mesh = make_mesh(data=len(devices), model=1, devices=devices)
+    rng = np.random.default_rng(6)
+    b, m, hd, d = 8, 256, 256, 64
+    q3 = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, m, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    curs = jnp.asarray([1, 7, 64, 128, 129, 200, 255, 256], jnp.int32)
+    sh2 = NamedSharding(mesh, P("data"))
+    sh3 = NamedSharding(mesh, P("data", None, None))
+    sh1 = NamedSharding(mesh, P("data"))
+    f = jax.jit(
+        lambda a, b_, c, d_, e, cu: decode_attention(
+            a, b_, c, d_, e, cu, head_dim=d, impl="pallas"),
+        in_shardings=(sh2, sh3, sh3, sh2, sh2, sh1))
+    args = (jax.device_put(q3, sh2), jax.device_put(kc, sh3),
+            jax.device_put(vc, sh3), jax.device_put(kn, sh2),
+            jax.device_put(vn, sh2), jax.device_put(curs, sh1))
+    assert _all_gathers(f, *args) == 0
+    np.testing.assert_allclose(
+        np.asarray(f(*args)),
+        np.asarray(_decode_xla(q3, kc, vc, kn, vn, curs, d)),
+        atol=1e-4)

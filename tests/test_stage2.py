@@ -251,3 +251,27 @@ def test_continuous_rq_batcher_matches_lockstep_greedy(rqt):
     assert b.num_active() == 0
     np.testing.assert_array_equal(done[rid0], want[0])
     np.testing.assert_array_equal(done[rid1], want[1])
+
+
+def test_continuous_batcher_multistep_dispatch(gpt):
+    """step(n) (one scanned dispatch) == n single steps: completion
+    mid-scan freezes the row on device, surplus items are discarded."""
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    m, vs = gpt
+    conds = [jnp.asarray([c], jnp.int32) for c in (1, 4)]
+    want = {}
+    for i, c in enumerate(conds):
+        _, codes = sample_gpt(m, vs, c[None, :], jax.random.PRNGKey(9),
+                              top_k=1)
+        want[i] = np.asarray(codes[0])
+
+    b = ContinuousGPTBatcher(m, vs, num_slots=2,
+                             rng=jax.random.PRNGKey(0), top_k=1)
+    rid0 = b.submit(conds[0])
+    assert b.step(4) == []                   # 4 tokens, one dispatch
+    rid1 = b.submit(conds[1])                # staggered by 4
+    done = {}
+    while b.num_active():
+        done.update(dict(b.step(5)))
+    np.testing.assert_array_equal(done[rid0], want[0])
+    np.testing.assert_array_equal(done[rid1], want[1])
