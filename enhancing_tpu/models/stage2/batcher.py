@@ -63,7 +63,8 @@ class _SlotPool:
     def __init__(self, module, variables: Dict[str, Any], num_slots: int,
                  rng: jax.Array, *, temperature: float = 1.0,
                  top_k: Optional[int] = None,
-                 top_p: Optional[float] = None) -> None:
+                 top_p: Optional[float] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None) -> None:
         self.module = module
         self.variables = variables
         self.num_slots = int(num_slots)
@@ -71,9 +72,33 @@ class _SlotPool:
         self._top_k = top_k
         self._top_p = top_p
         self._rng = rng
+        self.mesh = mesh
         self._cache = module.apply(variables, self.num_slots,
                                    method="init_cache")
         self._steps = jnp.zeros((self.num_slots,), jnp.int32)
+        if mesh is not None:
+            # shard the SLOTS over the mesh 'data' axis: every device owns
+            # its rows' cache lanes, the ragged decode partition rules keep
+            # the step collective-free (tests/test_partition.py), and only
+            # admissions touch a single row across the sharded axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ...parallel.mesh import DATA_AXIS
+
+            n_shards = mesh.shape[DATA_AXIS]
+            assert self.num_slots % n_shards == 0, (
+                f"num_slots {self.num_slots} not divisible by data-axis "
+                f"size {n_shards}")
+            row4 = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+            row3 = NamedSharding(mesh, P(None, DATA_AXIS, None))
+            row1 = NamedSharding(mesh, P(DATA_AXIS))
+            self._cache = {
+                "k": jax.device_put(self._cache["k"], row4),
+                "v": jax.device_put(self._cache["v"], row4),
+                "shift": jax.device_put(self._cache["shift"], row3),
+            }
+            self._steps = jax.device_put(self._steps, row1)
+            self._row1 = row1
         self._slot_req: List[Optional[int]] = [None] * self.num_slots
         self._results: Dict[int, List[np.ndarray]] = {}
         self._next_id = 0
@@ -211,6 +236,8 @@ class ContinuousGPTBatcher(_SlotPool):
     def __init__(self, module, variables, num_slots, rng, **kw) -> None:
         super().__init__(module, variables, num_slots, rng, **kw)
         self._tok = jnp.zeros((self.num_slots,), jnp.int32)
+        if self.mesh is not None:
+            self._tok = jax.device_put(self._tok, self._row1)
         self.seq_len = module.img_num_tokens
 
     def _admit_device(self, cond1, rng):
@@ -299,6 +326,13 @@ class ContinuousRQBatcher(_SlotPool):
         super().__init__(module, variables, num_slots, rng, **kw)
         self._tok = jnp.zeros((self.num_slots, module.depth_num_tokens),
                               jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ...parallel.mesh import DATA_AXIS
+
+            self._tok = jax.device_put(
+                self._tok, NamedSharding(self.mesh, P(DATA_AXIS, None)))
         self.seq_len = module.img_num_tokens
 
     def _admit_device(self, cond1, rng):

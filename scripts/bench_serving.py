@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Continuous-batching serving benchmark on the real chip.
+
+Measures the ContinuousGPTBatcher's steady-state throughput on the 1024d x
+16L prior (the decode-bandwidth workload from README's table) and compares
+it with the lockstep sampler at the same pool size, plus the effect of
+--steps_per_dispatch (dispatch-latency amortization through the relay).
+
+The interesting number for serving is STAGGERED work: slots deliberately
+start at spread-out positions, so the ragged kernel sees mixed lengths
+(lockstep batching cannot run this case at all without padding every row
+to the longest).
+
+Usage: python scripts/bench_serving.py [--slots 32] [--dispatch 1 8 32]
+"""
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=32)
+    ap.add_argument("--dispatch", type=int, nargs="+", default=[1, 8, 32])
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=1024)
+    args = ap.parse_args()
+
+    from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
+    maybe_enable_from_env()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    from enhancing_tpu.models.stage2.layers import GPT
+    from enhancing_tpu.models.stage2.sampling import sample_gpt
+
+    T = 1024
+    m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=args.dim,
+            cond_num_tokens=1, img_num_tokens=T, n_heads=16,
+            n_layers=args.layers, dtype=jnp.bfloat16)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, T), jnp.int32),
+                jnp.zeros((1, 1), jnp.int32))
+
+    # lockstep baseline at the same batch
+    conds = jnp.zeros((args.slots, 1), jnp.int32)
+    _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
+    np.asarray(out)
+    best = 1e9
+    for i in range(2):
+        t0 = time.time()
+        _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(1 + i),
+                            top_k=100)
+        np.asarray(out)
+        best = min(best, time.time() - t0)
+    print(f"[lockstep b{args.slots}] {args.slots * T / best:.0f} tok/s",
+          flush=True)
+
+    for n in args.dispatch:
+        b = ContinuousGPTBatcher(m, vs, num_slots=args.slots,
+                                 rng=jax.random.PRNGKey(7), top_k=100)
+        for s in range(args.slots):
+            b.submit(jnp.asarray([s % 1000], jnp.int32))
+        # STAGGER: spread the slots across positions by stepping while
+        # re-admitting finished rows round-robin for one full sequence
+        warm_items = 0
+        t_end = None
+        t0 = None
+        produced = 0
+        # warmup until the first completion wave passes (compile + fill)
+        while warm_items < args.slots:
+            for rid, codes in b.step(n):
+                warm_items += 1
+                b.submit(jnp.asarray([rid % 1000], jnp.int32))
+        # steady state: measure items/s over 2 full sequence lengths
+        t0 = time.time()
+        target = 2 * args.slots
+        while produced < target:
+            for rid, codes in b.step(n):
+                produced += 1
+                b.submit(jnp.asarray([rid % 1000], jnp.int32))
+        t_end = time.time()
+        tok_s = produced * T / (t_end - t0)
+        print(f"[continuous b{args.slots} dispatch={n}] "
+              f"{tok_s:.0f} tok/s steady-state (staggered slots, "
+              f"admissions included)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -430,3 +430,30 @@ def test_trainer_pipeline_parallel_stage2(devices):
                 and "pipe" in str(l.sharding.spec)]
             assert pipe_leaves, "no param leaf landed pipe-sharded"
     np.testing.assert_allclose(losses["rep"], losses["pp"], rtol=1e-5)
+
+
+def test_continuous_batcher_sharded_slots_match_unsharded(devices):
+    """Continuous batcher with slots sharded over the data axis: staggered
+    greedy admissions produce the same sequences as the unsharded pool."""
+    import numpy as np
+
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    from enhancing_tpu.models.stage2.layers import GPT
+
+    mesh = make_mesh(data=2, model=1, devices=devices[:2])
+    m = GPT(vocab_cond_size=10, vocab_img_size=32, embed_dim=64,
+            cond_num_tokens=1, img_num_tokens=8, n_heads=4, n_layers=2)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                jnp.zeros((1, 1), jnp.int32))
+
+    def run(mesh_arg):
+        b = ContinuousGPTBatcher(m, vs, num_slots=4,
+                                 rng=jax.random.PRNGKey(3), top_k=1,
+                                 mesh=mesh_arg)
+        r0 = b.submit(jnp.asarray([1], jnp.int32))
+        b.step()
+        r1 = b.submit(jnp.asarray([5], jnp.int32))
+        done = dict(b.run_until_done())
+        return np.stack([done[r0], done[r1]])
+
+    np.testing.assert_array_equal(run(None), run(mesh))
