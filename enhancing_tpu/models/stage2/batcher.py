@@ -35,9 +35,11 @@ import numpy as np
 from .sampling import _draw
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnames=("cache",))
 def _scatter_slot(cache, cache1, slot):
-    """Write a batch-1 cache into row ``slot`` of the pool cache."""
+    """Write a batch-1 cache into row ``slot`` of the pool cache, in place
+    (the pool is donated — without donation every admission would COPY the
+    whole multi-GB KV pool for a one-row update)."""
     return {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], cache1["k"].astype(cache["k"].dtype),
@@ -154,8 +156,6 @@ class _SlotPool:
                 if rid is None:
                     continue
                 seq = self._results[rid]
-                if len(seq) >= self.seq_len:
-                    continue
                 seq.append(items[t, slot])
                 if len(seq) == self.seq_len:
                     finished.append((rid, np.stack(seq).astype(np.int32)))

@@ -1090,8 +1090,7 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
     # (scalar cur_len broadcasts to all rows — the lockstep sampler)
     cur_vec = jnp.broadcast_to(
         jnp.asarray(cur_len, jnp.int32).reshape(-1), (b,))
-    if nb * block_b != b:
-        cur_vec = jnp.pad(cur_vec, (0, nb * block_b - b))
+    assert nb * block_b == b, (b, block_b)  # _decode_blocks picks divisors
     blockmax = jnp.max(cur_vec.reshape(nb, block_b), axis=1)
     sc = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                           blockmax, cur_vec])

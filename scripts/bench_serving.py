@@ -14,7 +14,6 @@ to the longest).
 Usage: python scripts/bench_serving.py [--slots 32] [--dispatch 1 8 32]
 """
 import argparse
-import statistics
 import sys
 import time
 from pathlib import Path
@@ -47,7 +46,10 @@ def main():
     vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, T), jnp.int32),
                 jnp.zeros((1, 1), jnp.int32))
 
-    # lockstep baseline at the same batch
+    # lockstep baseline at the same batch. Caveat: sample_gpt also
+    # stacks/transposes the full (B, T, V) f32 logits (~1 GB at these
+    # dims), which the batcher never computes — the lockstep number is
+    # correspondingly pessimistic; treat the comparison as indicative.
     conds = jnp.zeros((args.slots, 1), jnp.int32)
     _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
     np.asarray(out)
@@ -77,7 +79,10 @@ def main():
             for rid, codes in b.step(n):
                 warm_items += 1
                 b.submit(jnp.asarray([rid % 1000], jnp.int32))
-        # steady state: measure items/s over 2 full sequence lengths
+        # steady state: measure items/s over 2 full sequence lengths.
+        # Completions counted in the window include tokens decoded before
+        # t0; over 2 full sequences the startup credit is <= 1/2 sequence
+        # per slot and amortizes — good enough for an indicative number.
         t0 = time.time()
         target = 2 * args.slots
         while produced < target:

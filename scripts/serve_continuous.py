@@ -51,6 +51,8 @@ class BatcherLoop(threading.Thread):
         self._wake.set()
         if not done.wait(timeout):
             raise TimeoutError("generation timed out")
+        if "error" in box:
+            raise RuntimeError(box["error"])
         return box["codes"]
 
     def stop(self):
@@ -60,22 +62,33 @@ class BatcherLoop(threading.Thread):
     def run(self):
         pending = {}  # rid -> (done, box)
         while not self._stop:
-            # admit as many queued requests as there are free slots
-            while self.batcher.free_slots():
-                try:
-                    cond, done, box = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                rid = self.batcher.submit(cond)
-                pending[rid] = (done, box)
-            if not self.batcher.num_active():
-                self._wake.wait(timeout=0.1)
-                self._wake.clear()
-                continue
-            for rid, codes in self.batcher.step(self.steps_per_dispatch):
-                done, box = pending.pop(rid)
-                box["codes"] = codes
-                done.set()
+            try:
+                # admit as many queued requests as there are free slots
+                while self.batcher.free_slots():
+                    try:
+                        cond, done, box = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    rid = self.batcher.submit(cond)
+                    pending[rid] = (done, box)
+                if not self.batcher.num_active():
+                    self._wake.wait(timeout=0.1)
+                    self._wake.clear()
+                    continue
+                for rid, codes in self.batcher.step(self.steps_per_dispatch):
+                    done, box = pending.pop(rid)
+                    box["codes"] = codes
+                    done.set()
+            except Exception as e:  # noqa: BLE001 — keep the loop alive
+                # fail every request currently in flight (their device
+                # state is suspect) but keep serving new ones: a transient
+                # relay/device error must not silently hang the server
+                print(f"[serve_continuous] step error: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                for done, box in pending.values():
+                    box["error"] = f"{type(e).__name__}: {e}"
+                    done.set()
+                pending.clear()
 
 
 def make_handler(loop: BatcherLoop, batcher, decode_fn=None):
@@ -110,8 +123,14 @@ def make_handler(loop: BatcherLoop, batcher, decode_fn=None):
             except Exception as e:  # surface errors as JSON, keep serving
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
-            if req.get("decode") and decode_fn is not None:
-                png = decode_fn(codes)
+            try:
+                png = (decode_fn(codes)
+                       if req.get("decode") and decode_fn is not None
+                       else None)
+            except Exception as e:  # decode failures also stay JSON
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if png is not None:
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))

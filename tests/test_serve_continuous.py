@@ -71,7 +71,7 @@ def test_concurrent_generate(server):
 
 def test_decode_to_png(server):
     req = urllib.request.Request(
-        f"{PORT and server}/generate",
+        f"{server}/generate",
         data=json.dumps({"class": 1, "decode": True}).encode(),
         headers={"Content-Type": "application/json"})
     resp = urllib.request.urlopen(req, timeout=300)
