@@ -565,7 +565,14 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
         v3 = jnp.pad(v3, ((0, 0), (0, m_pad - m), (0, 0)))
         m = m_pad
 
-    unroll_chunks = int(os.environ.get("ENHANCING_TPU_ATTN_UNROLL", "0"))
+    # Python-unrolled online softmax over 4 big key chunks is the measured
+    # default for the multi-head-per-slab whole-row path: unlike the serial
+    # fori_loop chunk path, the unrolled chunks are all visible to Mosaic's
+    # scheduler, so chunk c+1's score matmul overlaps chunk c's exp/rescale
+    # VPU work. Measured at the ViT headline shape (B128 H12 N1024 D64):
+    # 5.03 vs 5.64 ms/layer-call (~11% kernel, +1.4% end-to-end). 0 = the
+    # single whole-row softmax; applied only when the key count divides.
+    unroll_chunks = int(os.environ.get("ENHANCING_TPU_ATTN_UNROLL", "4"))
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, mask_mode=mask_mode,
                           cond_len=cond_len, block_q=block_q,

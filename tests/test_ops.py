@@ -290,6 +290,23 @@ def test_attention_packed_kchunk_matches_whole_row(rng, mode, cl):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("mode,cl", [("none", 0), ("prefix_causal", 3)])
+@pytest.mark.parametrize("unroll", [0, 2, 4])
+def test_attention_packed_unroll_matches_xla(rng, mode, cl, unroll,
+                                             monkeypatch):
+    """The Python-unrolled online-softmax chunks (the measured default, 4)
+    == the single whole-row softmax == XLA, for both mask modes."""
+    monkeypatch.setenv("ENHANCING_TPU_ATTN_UNROLL", str(unroll))
+    b, n, hd, d = 2, 64, 256, 64  # n % 4 == 0 so the unroll path engages
+    q = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32) * 0.125
+    k = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+    out = att._attention_packed_call(q, k, v, mode, cl, d)
+    ref = att._attention_xla_packed(q, k, v, mode, cl, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+
+
 def test_attention_kchunk_long_cond_prefix(rng):
     """cond_len > block_q: prefix rows in EARLY q-blocks attend cond columns
     past their own diagonal — the live-chunk bound must extend to cond_len-1,
