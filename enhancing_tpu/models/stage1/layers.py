@@ -25,7 +25,7 @@ import numpy as np
 from einops import rearrange
 from flax import linen as nn
 
-from ...ops.attention import multihead_attention_bnhd
+from ...ops.attention import attention_proj_packed, multihead_attention_bnhd
 from ...ops.ffn import fused_ffn
 from ...ops.ln_gemm import fused_ln_gemm
 
@@ -104,6 +104,18 @@ class _LNParams(nn.Module):
         return s, b
 
 
+def _use_fused_attn_proj() -> bool:
+    """Opt-in (ENHANCING_TPU_ATTN_PROJ=1): fold the output projection +
+    residual add into the attention kernel (ops/attention.attention_proj_
+    packed). MEASURED SLOWER on v5e for the ViT-base headline (300.5 vs
+    310.1 img/s): the in-kernel proj matmul serializes behind the softmax
+    and the q-block-major grid re-DMAs k/v per q-block, while XLA runs the
+    separate proj GEMM at ~peak and overlaps the HBM passes it saves. Kept
+    for FLOPs:bandwidth ratios where the round trip dominates."""
+    import os
+    return os.environ.get("ENHANCING_TPU_ATTN_PROJ", "") not in ("", "0")
+
+
 def resolve_ffn_impl(ffn_impl: str | None) -> str:
     """Resolve the FFN kernel choice: the ENHANCING_TPU_FUSED_FFN env var is
     an A/B override; otherwise the module/config field decides ('dense' — the
@@ -172,9 +184,17 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, ln=None) -> jax.Array:
+    def __call__(self, x: jax.Array, ln=None,
+                 residual: jax.Array | None = None) -> jax.Array:
         """``ln=(scale, bias)`` fuses the preceding LayerNorm into the QKV
-        GEMM (ops/ln_gemm.py); ``ln=None`` expects a pre-normalized input."""
+        GEMM (ops/ln_gemm.py); ``ln=None`` expects a pre-normalized input.
+
+        ``residual``: when given (and the module has an output projection),
+        returns ``residual + to_out(attention(...))`` with the projection
+        and residual-add folded into the attention kernel
+        (ops/attention.attention_proj_packed) — the attention output never
+        round-trips HBM. Callers passing ``residual`` must NOT add it again.
+        """
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         if ln is not None:
@@ -191,12 +211,23 @@ class Attention(nn.Module):
         k = k.reshape(b, n, self.heads, self.dim_head)
         v = v.reshape(b, n, self.heads, self.dim_head)
 
+        has_proj = not (self.heads == 1 and self.dim_head == self.dim)
+        if residual is not None and has_proj and _use_fused_attn_proj():
+            # param layout identical to nn.Dense(name='to_out') — checkpoint
+            # compatible either way
+            wp, bp = _DenseParams(inner, self.dim, name="to_out")()
+            return attention_proj_packed(
+                q, k, v, wp, bp, residual.astype(self.dtype),
+                scale=self.dim_head**-0.5)
+
         out = multihead_attention_bnhd(q, k, v, scale=self.dim_head**-0.5)
         out = out.reshape(b, n, inner)
 
-        if not (self.heads == 1 and self.dim_head == self.dim):
+        if has_proj:
             out = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
                            name="to_out")(out)
+        if residual is not None:
+            out = residual.astype(out.dtype) + out
         return out
 
 
@@ -216,8 +247,10 @@ class TransformerBlock(nn.Module):
         # so a standalone LN pass costs a full HBM round trip (~12% of the
         # stage-1 headline step; see ops/ln_gemm.py).
         ln1 = _LNParams(self.dim, name="norm1")()
-        x = x + Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
-                          name="attn")(x, ln=ln1)
+        # Attention consumes the residual: projection + residual-add fold
+        # into the attention kernel (no HBM round trip of the attn output)
+        x = Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
+                      name="attn")(x, ln=ln1, residual=x)
         ln2 = _LNParams(self.dim, name="norm2")()
         x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
                             ffn_impl=self.ffn_impl, name="ff")(x, ln=ln2)

@@ -252,6 +252,85 @@ def _merge_slab_heads(outs, head_dim: int):
     return out
 
 
+def _packed_attention_tile(q, k_all, v_all, qi, *, mask_mode: str,
+                           cond_len: int, block_q: int, heads_per_slab: int,
+                           head_dim: int, m_valid: int,
+                           unroll_chunks: int) -> jax.Array:
+    """Whole-row softmax attention for one (bq, slab) q tile against the
+    full (M, slab) k/v tiles; returns the merged (bq, slab) output tile.
+    Shared by the plain packed kernel and the attention+proj fused kernel."""
+    m_tot = k_all.shape[0]
+
+    def scores(qh, k, col0, row_mod: int | None = None):
+        s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        if row_mod is not None:
+            rows = jax.lax.rem(rows, row_mod)
+        rows = rows + qi * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+        if mask_mode == "prefix_causal":
+            allowed = (cols <= rows) | ((rows < cond_len) & (cols < cond_len))
+        else:
+            allowed = jnp.ones(s.shape, jnp.bool_)
+        if m_valid != m_tot:
+            allowed = allowed & (cols < m_valid)
+        return jnp.where(allowed, s, NEG_INF) \
+            if (mask_mode == "prefix_causal" or m_valid != m_tot) else s
+
+    q_heads = _split_slab_heads(q, head_dim, heads_per_slab)
+
+    if heads_per_slab > 1:
+        # Stack the per-head masked-q copies along ROWS and run ONE
+        # (hps*bq, slab) @ (slab, M) score matmul + ONE softmax + ONE PV
+        # instead of hps half-size chains: same physical MACs, but the
+        # longer row stream keeps the MXU weight tiles resident longer and
+        # the VPU softmax vectorizes over one tall tile.
+        qs = jnp.concatenate(q_heads, axis=0)  # (hps*bq, slab)
+        if unroll_chunks > 1 and m_tot % unroll_chunks == 0:
+            # Python-UNROLLED online softmax over a few big key chunks
+            # (the measured default, 4): unlike the fori_loop path (serial
+            # semantics), the unrolled chunks are all visible to Mosaic's
+            # scheduler, so chunk c+1's score matmul (MXU) overlaps chunk
+            # c's exp/rescale (VPU) — the single whole-row softmax runs
+            # MXU -> VPU -> MXU strictly in sequence and eats the softmax
+            # latency raw.
+            ck = m_tot // unroll_chunks
+            parts = []
+            for c in range(unroll_chunks):
+                sl = slice(c * ck, (c + 1) * ck)
+                s_c = scores(qs, k_all[sl], c * ck, row_mod=block_q)
+                parts.append((jnp.max(s_c, axis=-1, keepdims=True), s_c, sl))
+            mx = functools.reduce(jnp.maximum, [p[0] for p in parts])
+            o = None
+            l = None
+            for mx_c, s_c, sl in parts:
+                e_c = jnp.exp(s_c - mx)
+                pv = jnp.dot(e_c.astype(v_all.dtype), v_all[sl],
+                             preferred_element_type=jnp.float32)
+                l_c = jnp.sum(e_c, axis=-1, keepdims=True)
+                o = pv if o is None else o + pv
+                l = l_c if l is None else l + l_c
+            o = o * (1.0 / l)
+        else:
+            s = scores(qs, k_all, 0, row_mod=block_q)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(v_all.dtype), v_all,
+                        preferred_element_type=jnp.float32) * r
+        outs = [o[h * block_q:(h + 1) * block_q]
+                for h in range(heads_per_slab)]
+        return _merge_slab_heads(outs, head_dim)
+
+    s = scores(q, k_all, 0)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - mx)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    return jnp.dot(e.astype(v_all.dtype), v_all,
+                   preferred_element_type=jnp.float32) * r
+
+
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
                         cond_len: int, block_q: int, heads_per_slab: int,
                         head_dim: int, k_chunk: int = 0,
@@ -292,50 +371,15 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
     q_heads = _split_slab_heads(q, head_dim, heads_per_slab)
 
     if (not k_chunk or k_chunk >= m_tot) and heads_per_slab > 1:
-        # Stack the per-head masked-q copies along ROWS and run ONE
-        # (hps*bq, slab) @ (slab, M) score matmul + ONE softmax + ONE PV
-        # instead of hps half-size chains: same physical MACs, but the
-        # longer row stream keeps the MXU weight tiles resident longer and
-        # the VPU softmax vectorizes over one tall tile.
-        k_all = k_ref[0]                       # (M, slab)
-        v_all = v_ref[0]
-        qs = jnp.concatenate(q_heads, axis=0)  # (hps*bq, slab)
-        if unroll_chunks > 1 and m_tot % unroll_chunks == 0:
-            # Python-UNROLLED online softmax over a few big key chunks:
-            # unlike the fori_loop path (serial semantics), the unrolled
-            # chunks are visible to Mosaic's scheduler at once, so chunk
-            # c+1's score matmul (MXU) can overlap chunk c's exp/rescale
-            # (VPU) — the whole-row path runs MXU -> VPU -> MXU strictly
-            # in sequence and eats the softmax latency raw.
-            ck = m_tot // unroll_chunks
-            parts = []
-            for c in range(unroll_chunks):
-                sl = slice(c * ck, (c + 1) * ck)
-                s_c = scores(qs, k_all[sl], c * ck, row_mod=block_q)
-                parts.append((jnp.max(s_c, axis=-1, keepdims=True), s_c, sl))
-            mx = functools.reduce(jnp.maximum, [p[0] for p in parts])
-            o = None
-            l = None
-            for mx_c, s_c, sl in parts:
-                e_c = jnp.exp(s_c - mx)
-                pv = jnp.dot(e_c.astype(v_all.dtype), v_all[sl],
-                             preferred_element_type=jnp.float32)
-                l_c = jnp.sum(e_c, axis=-1, keepdims=True)
-                o = pv if o is None else o + pv
-                l = l_c if l is None else l + l_c
-            o = o * (1.0 / l)
-        else:
-            s = scores(qs, k_all, 0, row_mod=block_q)
-            mx = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - mx)
-            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-            o = jnp.dot(e.astype(v_all.dtype), v_all,
-                        preferred_element_type=jnp.float32) * r
-        outs = [o[h * block_q:(h + 1) * block_q] for h in
-                range(heads_per_slab)]
-        o_ref[0] = _merge_slab_heads(outs, head_dim).astype(o_ref.dtype)
+        # Delegates to the shared whole-row tile helper (stacked-rows score
+        # matmul + optionally unrolled online softmax).
+        o_ref[0] = _packed_attention_tile(
+            q, k_ref[0], v_ref[0], qi, mask_mode=mask_mode,
+            cond_len=cond_len, block_q=block_q,
+            heads_per_slab=heads_per_slab, head_dim=head_dim,
+            m_valid=m_valid,
+            unroll_chunks=unroll_chunks).astype(o_ref.dtype)
         return
-
     outs = []
     for qh in q_heads:
         if not k_chunk or k_chunk >= m_tot:
@@ -918,6 +962,202 @@ def _attention_fused_packed_bwd(mask_mode, cond_len, head_dim, res, g):
 
 _attention_fused_packed.defvjp(_attention_fused_packed_fwd,
                                _attention_fused_packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention -> output-projection -> residual-add kernel.
+#
+# In the transformer block, XLA must materialise the attention output in
+# HBM (a Pallas custom call cannot be fused into the next dot's operand),
+# then read it back for the projection GEMM, then run a third pass for the
+# residual add: ~3 full activation round trips per layer plus a scheduling
+# boundary. Here the projection accumulates INSIDE the attention kernel —
+# the grid's innermost axis walks the lane slabs of one q-block, each step
+# adds o_slab @ Wp[slab_rows] into a (block_q, hd_out) fp32 scratch, and
+# the residual/bias fold in at the flush — the attention output never
+# exists in HBM. Measured on the ViT-base headline step: see README.
+#
+# custom_vjp: the FORWARD-FOR-GRAD variant runs the UNFUSED pipeline (the
+# packed attention kernel + an XLA projection) so the attention output is
+# saved for dWp without recompute — training cost is identical to the
+# unfused path; only the no-grad (inference) primal takes the fused kernel.
+# ---------------------------------------------------------------------------
+
+
+def _attn_proj_kernel(q_ref, k_ref, v_ref, wp_ref, bp_ref, res_ref, o_ref,
+                      acc, *, mask_mode: str, cond_len: int, block_q: int,
+                      heads_per_slab: int, head_dim: int, unroll_chunks: int):
+    s_idx = pl.program_id(2)
+    ns = pl.num_programs(2)
+    qi = pl.program_id(1)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    o_tile = _packed_attention_tile(
+        q_ref[0], k_ref[0], v_ref[0], qi, mask_mode=mask_mode,
+        cond_len=cond_len, block_q=block_q, heads_per_slab=heads_per_slab,
+        head_dim=head_dim, m_valid=k_ref.shape[1],
+        unroll_chunks=unroll_chunks)
+    # cast to the compute dtype first — the XLA twin (and the unfused path)
+    # projects the bf16 attention output, not the fp32 accumulator
+    acc[...] += jax.lax.dot_general(
+        o_tile.astype(q_ref.dtype), wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(s_idx == ns - 1)
+    def _flush():
+        out = acc[...] + bp_ref[0].astype(jnp.float32) \
+            + res_ref[0].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _attention_proj_packed_call(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                                head_dim):
+    import os
+    b, n, hd = q3.shape
+    m = k3.shape[1]
+    ho = wp.shape[1]
+    slab = _slab_for(head_dim)
+    heads_per_slab = slab // head_dim
+    slabs = hd // slab
+    # fp32 score tiles + the (block_q, ho) accumulator share the budget
+    block_q = _packed_block_q(n, m, heads_per_slab)
+    while block_q > 128 and block_q * ho * 4 > 4 * 1024 * 1024:
+        block_q //= 2
+    grid = (b, cdiv(n, block_q), slabs)
+    n_heads = hd // head_dim
+    unroll_chunks = int(os.environ.get("ENHANCING_TPU_ATTN_UNROLL", "4"))
+
+    return pl.pallas_call(
+        functools.partial(_attn_proj_kernel, mask_mode=mask_mode,
+                          cond_len=cond_len, block_q=block_q,
+                          heads_per_slab=heads_per_slab, head_dim=head_dim,
+                          unroll_chunks=unroll_chunks),
+        out_shape=jax.ShapeDtypeStruct((b, n, ho), q3.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, slab), lambda i, j, s: (i, j, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, slab), lambda i, j, s: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, slab), lambda i, j, s: (i, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, ho), lambda i, j, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho), lambda i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, ho), lambda i, j, s: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, ho), lambda i, j, s: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_q, ho), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * m * hd * heads_per_slab + 2 * b * n * hd * ho,
+            bytes_accessed=(q3.size + k3.size + v3.size + 2 * b * n * ho
+                            + wp.size) * q3.dtype.itemsize,
+            transcendentals=b * n_heads * n * m,
+        ),
+        interpret=interpret_mode(),
+    )(q3, k3, v3, wp, bp.reshape(1, -1), res)
+
+
+def _attention_proj_xla(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                        head_dim):
+    """XLA twin: packed attention -> bf16 projection (fp32 accumulation +
+    bias + residual in fp32, cast to the input dtype) — numerics identical
+    to the kernel's flush."""
+    o = _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim)
+    out = jnp.dot(o, wp.astype(o.dtype),
+                  preferred_element_type=jnp.float32)
+    out = out + bp.astype(jnp.float32) + res.astype(jnp.float32)
+    return out.astype(q3.dtype)
+
+
+def _attn_proj_supported(q3, k3, wp) -> bool:
+    # Wp slab rows stay resident per grid step and the fp32 accumulator is
+    # bounded by the block_q shrink loop — cap hd_out so both fit VMEM.
+    return (wp.shape[0] == q3.shape[2] and wp.shape[1] % LANES == 0
+            and wp.shape[1] <= 4096)
+
+
+def _attn_proj_fwd_impl(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                        head_dim):
+    if _packed_local_ok(q3, k3, head_dim) and _attn_proj_supported(q3, k3, wp):
+        return _attention_proj_packed_call(q3, k3, v3, wp, bp, res,
+                                           mask_mode, cond_len, head_dim)
+    return _attention_proj_xla(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                               head_dim)
+
+
+# batch shards; the packed head axis and the projection output axis must be
+# whole per shard (the projection contracts the full hd).
+_attn_proj_part = partitioned(
+    _attn_proj_fwd_impl, "b n hd, b m hd, b m hd, hd ho, ho, b n ho -> b n ho",
+    need_replication=("n", "m", "hd", "ho"), static_argnums=(6, 7, 8))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _attention_proj_fused(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                          head_dim):
+    return _attn_proj_part(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                           head_dim)
+
+
+def _attention_proj_fused_fwd(q3, k3, v3, wp, bp, res, mask_mode, cond_len,
+                              head_dim):
+    # unfused forward: saves the attention output for dWp (no recompute);
+    # identical cost to the pre-fusion training path
+    o_attn = _packed_fwd(q3, k3, v3, mask_mode, cond_len, head_dim)
+    out = jnp.dot(o_attn, wp.astype(o_attn.dtype),
+                  preferred_element_type=jnp.float32)
+    out = (out + bp.astype(jnp.float32)
+           + res.astype(jnp.float32)).astype(q3.dtype)
+    return out, (q3, k3, v3, wp, o_attn)
+
+
+def _attention_proj_fused_bwd(mask_mode, cond_len, head_dim, resids, g):
+    q3, k3, v3, wp, o_attn = resids
+    g32 = g.astype(jnp.float32)
+    dbp = jnp.sum(g32, axis=(0, 1))
+    dwp = jnp.einsum("bnh,bno->ho", o_attn.astype(jnp.float32), g32)
+    do = jnp.dot(g, wp.T.astype(g.dtype),
+                 preferred_element_type=jnp.float32).astype(q3.dtype)
+    dq3, dk3, dv3 = _packed_bwd(q3, k3, v3, do, mask_mode, cond_len, head_dim)
+    return dq3, dk3, dv3, dwp.astype(wp.dtype), dbp, g
+
+
+_attention_proj_fused.defvjp(_attention_proj_fused_fwd,
+                             _attention_proj_fused_bwd)
+
+
+def attention_proj_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                          wp: jax.Array, bp: jax.Array, residual: jax.Array,
+                          *, scale: Optional[float] = None,
+                          mask_mode: str = "none", cond_len: int = 0,
+                          impl: str | None = "auto") -> jax.Array:
+    """residual + (attention(q, k, v) reshaped to (B, N, H*D)) @ wp + bp,
+    with the projection and residual folded into the attention kernel.
+
+    q, k, v: (B, N, H, D); wp: (H*D, dim_out); bp: (dim_out,);
+    residual: (B, N, dim_out). Falls back to the unfused packed kernel +
+    XLA projection when the shape misses the packed grid, and to pure XLA
+    off-TPU.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    q3 = (q * jnp.asarray(scale, q.dtype)).reshape(b, n, h * d)
+    k3 = k.reshape(b, m, h * d)
+    v3 = v.reshape(b, m, h * d)
+    if use_pallas(impl) and n >= 8 and _packed_supported(h, d, n, m):
+        return _attention_proj_fused(q3, k3, v3, wp.astype(q.dtype), bp,
+                                     residual, mask_mode, int(cond_len), d)
+    return _attention_proj_xla(q3, k3, v3, wp.astype(q.dtype), bp, residual,
+                               mask_mode, int(cond_len), d)
 
 
 # ---------------------------------------------------------------------------

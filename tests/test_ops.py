@@ -307,6 +307,60 @@ def test_attention_packed_unroll_matches_xla(rng, mode, cl, unroll,
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape,mode,cl", [
+    ((2, 64, 4, 64), "none", 0),
+    ((1, 64, 2, 128), "none", 0),
+    ((1, 33, 4, 64), "prefix_causal", 3),
+])
+def test_attention_proj_fused_matches_xla(rng, shape, mode, cl):
+    """Fused attention->projection->residual kernel == the XLA twin, and
+    gradients (through the unfused custom_vjp forward) == jax.grad of the
+    twin — for q/k/v, Wp, bias and the residual."""
+    b, n, h, d = shape
+    hd, ho = h * d, 128
+    q3, k3, v3 = (jnp.asarray(rng.standard_normal((b, n, hd)), jnp.float32)
+                  * 0.2 for _ in range(3))
+    wp = jnp.asarray(rng.standard_normal((hd, ho)) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal(ho) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((b, n, ho)), jnp.float32)
+
+    out = att._attention_proj_packed_call(q3, k3, v3, wp, bp, res, mode, cl, d)
+    ref = att._attention_proj_xla(q3, k3, v3, wp, bp, res, mode, cl, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+
+    def loss_fused(q3, k3, v3, wp, bp, res):
+        return jnp.sum(att._attention_proj_fused(q3, k3, v3, wp, bp, res,
+                                                 mode, cl, d) ** 2)
+
+    def loss_ref(q3, k3, v3, wp, bp, res):
+        return jnp.sum(att._attention_proj_xla(q3, k3, v3, wp, bp, res,
+                                               mode, cl, d) ** 2)
+
+    gs = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+        q3, k3, v3, wp, bp, res)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        q3, k3, v3, wp, bp, res)
+    for name, a, r in zip(("dq", "dk", "dv", "dwp", "dbp", "dres"), gs, gr):
+        rel = (float(jnp.abs(a - r).max())
+               / (float(jnp.abs(r).max()) + 1e-12))
+        assert rel < 1e-3, (name, rel)
+
+
+def test_attention_proj_module_path(rng):
+    """stage-1 Attention(residual=...) == residual + to_out(attention) with
+    the same params (checkpoint-layout compatibility of the fused path)."""
+    from enhancing_tpu.models.stage1.layers import Attention
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    mod = Attention(dim=128, heads=2, dim_head=64)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    fused = mod.apply(variables, x, None, x)
+    unfused = x + mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_attention_kchunk_long_cond_prefix(rng):
     """cond_len > block_q: prefix rows in EARLY q-blocks attend cond columns
     past their own diagonal — the live-chunk bound must extend to cond_len-1,
