@@ -25,7 +25,9 @@ import numpy as np
 from einops import rearrange
 from flax import linen as nn
 
-from ...ops.attention import attention_proj_packed, multihead_attention_bnhd
+from ...ops.attention import (attention_proj_packed,
+                              multihead_attention_bnhd,
+                              multihead_attention_packed_qkv)
 from ...ops.ffn import fused_ffn
 from ...ops.ln_gemm import fused_ln_gemm
 
@@ -204,15 +206,12 @@ class Attention(nn.Module):
         else:
             qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=dense_init,
                            dtype=self.dtype, name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        # (B, N, H, D) is a free reshape of the projection output — the fused
-        # kernel consumes this layout directly, avoiding per-layer transposes
-        q = q.reshape(b, n, self.heads, self.dim_head)
-        k = k.reshape(b, n, self.heads, self.dim_head)
-        v = v.reshape(b, n, self.heads, self.dim_head)
-
         has_proj = not (self.heads == 1 and self.dim_head == self.dim)
         if residual is not None and has_proj and _use_fused_attn_proj():
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, n, self.heads, self.dim_head)
+            k = k.reshape(b, n, self.heads, self.dim_head)
+            v = v.reshape(b, n, self.heads, self.dim_head)
             # param layout identical to nn.Dense(name='to_out') — checkpoint
             # compatible either way
             wp, bp = _DenseParams(inner, self.dim, name="to_out")()
@@ -220,8 +219,11 @@ class Attention(nn.Module):
                 q, k, v, wp, bp, residual.astype(self.dtype),
                 scale=self.dim_head**-0.5)
 
-        out = multihead_attention_bnhd(q, k, v, scale=self.dim_head**-0.5)
-        out = out.reshape(b, n, inner)
+        # attention reads q/k/v lane slabs straight out of the fused qkv
+        # buffer — a jnp.split here would materialize three full copies
+        # (Pallas custom-call operands must be contiguous)
+        out = multihead_attention_packed_qkv(qkv, self.heads, self.dim_head,
+                                             scale=self.dim_head**-0.5)
 
         if has_proj:
             out = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,

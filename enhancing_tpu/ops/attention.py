@@ -334,7 +334,8 @@ def _packed_attention_tile(q, k_all, v_all, qi, *, mask_mode: str,
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
                         cond_len: int, block_q: int, heads_per_slab: int,
                         head_dim: int, k_chunk: int = 0,
-                        m_valid: int | None = None, unroll_chunks: int = 0):
+                        m_valid: int | None = None, unroll_chunks: int = 0,
+                        q_scale: float | None = None):
     """``k_chunk``: 0 = whole-row softmax over all M keys at once;
     > 0 = online (flash-style) softmax over key chunks. For
     ``prefix_causal`` the chunk loop is a dynamic-bound ``fori_loop`` that
@@ -344,6 +345,11 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, mask_mode: str,
     caller padded M up to a chunk multiple (padding columns are masked)."""
     qi = pl.program_id(2)
     q = q_ref[0]                               # (bq, slab) bf16, pre-scaled
+    if q_scale is not None:
+        # scale applied to the VMEM-resident q TILE (the packed-qkv entry
+        # cannot pre-scale q without copying it out of the fused buffer);
+        # same dtype rounding as the out-of-kernel q * scale
+        q = q * jnp.asarray(q_scale, q.dtype)
     slab = q.shape[-1]
     m_tot = k_ref.shape[1]
     if m_valid is None:
@@ -643,6 +649,131 @@ def _attention_packed_call(q3, k3, v3, mask_mode, cond_len, head_dim,
         ),
         interpret=interpret_mode(),
     )(q3, k3, v3)
+
+
+def _attention_packed_qkv_call(qkv3, mask_mode, cond_len, head_dim, scale):
+    """Packed attention consuming the FUSED (B, N, 3*H*D) qkv projection
+    output directly. The same buffer rides in as three operands whose
+    BlockSpec index maps point at the q / k / v lane ranges, so the
+    ``jnp.split`` + q-scale copies the separate-operand entry forces
+    (custom-call operands must be contiguous — each split slice plus the
+    scale pass materializes a full (B, N, H*D) copy per layer) never
+    happen; the scale folds into the VMEM q tile inside the kernel."""
+    import os
+    b, n, hd3 = qkv3.shape
+    hd = hd3 // 3
+    m = n
+    slab = _slab_for(head_dim)
+    heads_per_slab = slab // head_dim
+    slabs = hd // slab
+    block_q = _packed_block_q(n, m, heads_per_slab)
+    grid = (b, slabs, cdiv(n, block_q))
+    n_heads = hd // head_dim
+    unroll_chunks = int(os.environ.get("ENHANCING_TPU_ATTN_UNROLL", "4"))
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed, mask_mode=mask_mode,
+                          cond_len=cond_len, block_q=block_q,
+                          heads_per_slab=heads_per_slab, head_dim=head_dim,
+                          k_chunk=0, m_valid=m, unroll_chunks=unroll_chunks,
+                          q_scale=float(scale)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv3.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, slabs + s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, slab), lambda i, s, j: (i, 0, 2 * slabs + s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, slab), lambda i, s, j: (i, j, s),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * m * hd * heads_per_slab,
+            bytes_accessed=(qkv3.size + b * n * hd) * qkv3.dtype.itemsize,
+            transcendentals=b * n_heads * n * m,
+        ),
+        interpret=interpret_mode(),
+    )(qkv3, qkv3, qkv3)
+
+
+def _qkv_split_scaled(qkv3, head_dim, scale):
+    hd = qkv3.shape[-1] // 3
+    q3 = qkv3[..., :hd] * jnp.asarray(scale, qkv3.dtype)
+    return q3, qkv3[..., hd:2 * hd], qkv3[..., 2 * hd:]
+
+
+def _packed_qkv_fwd_impl(qkv3, mask_mode, cond_len, head_dim, scale):
+    b, n, hd3 = qkv3.shape
+    hd = hd3 // 3
+    if (hd % _slab_for(head_dim) == 0 and hd % head_dim == 0
+            and _packed_supported(hd // head_dim, head_dim, n, n)):
+        return _attention_packed_qkv_call(qkv3, mask_mode, cond_len,
+                                          head_dim, scale)
+    q3, k3, v3 = _qkv_split_scaled(qkv3, head_dim, scale)
+    return _attention_xla_packed(q3, k3, v3, mask_mode, cond_len, head_dim)
+
+
+# batch shards; the packed qkv lane axis and the sequence stay whole.
+_packed_qkv_fwd = partitioned(
+    _packed_qkv_fwd_impl, "b n x -> b n y",
+    need_replication=("n", "x", "y"), static_argnums=(1, 2, 3, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _attention_fused_packed_qkv(qkv3, mask_mode, cond_len, head_dim, scale):
+    return _packed_qkv_fwd(qkv3, mask_mode, cond_len, head_dim, scale)
+
+
+def _attention_fused_packed_qkv_fwd(qkv3, mask_mode, cond_len, head_dim,
+                                    scale):
+    return (_packed_qkv_fwd(qkv3, mask_mode, cond_len, head_dim, scale),
+            (qkv3,))
+
+
+def _attention_fused_packed_qkv_bwd(mask_mode, cond_len, head_dim, scale,
+                                    res, g):
+    (qkv3,) = res
+    q3, k3, v3 = _qkv_split_scaled(qkv3, head_dim, scale)
+    dq, dk, dv = _packed_bwd(q3, k3, v3, g.astype(qkv3.dtype), mask_mode,
+                             cond_len, head_dim)
+    dq = dq * jnp.asarray(scale, dq.dtype)  # chain through the q pre-scale
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+_attention_fused_packed_qkv.defvjp(_attention_fused_packed_qkv_fwd,
+                                   _attention_fused_packed_qkv_bwd)
+
+
+def multihead_attention_packed_qkv(qkv: jax.Array, heads: int, head_dim: int,
+                                   *, scale: Optional[float] = None,
+                                   mask_mode: str = "none", cond_len: int = 0,
+                                   impl: str | None = "auto") -> jax.Array:
+    """Self-attention straight off the fused qkv projection output.
+
+    qkv: (B, N, 3*heads*head_dim), laid out [q | k | v] along lanes — the
+    native output of one LN->qkv GEMM. Returns (B, N, heads*head_dim).
+    On TPU with packed-supported head dims this reads q/k/v lane slabs
+    straight out of the fused buffer (zero split/scale copies); elsewhere
+    it splits and runs the standard paths.
+    """
+    if scale is None:
+        scale = head_dim ** -0.5
+    b, n, hd3 = qkv.shape
+    assert hd3 == 3 * heads * head_dim, (qkv.shape, heads, head_dim)
+    if use_pallas(impl) and n >= 8 and _packed_supported(heads, head_dim,
+                                                         n, n):
+        return _attention_fused_packed_qkv(qkv, mask_mode, int(cond_len),
+                                           head_dim, float(scale))
+    q3, k3, v3 = _qkv_split_scaled(qkv, head_dim, scale)
+    hd = heads * head_dim
+    q = q3.reshape(b, n, heads, head_dim)
+    k = k3.reshape(b, n, heads, head_dim)
+    v = v3.reshape(b, n, heads, head_dim)
+    out = multihead_attention_bnhd(q, k, v, scale=1.0, mask_mode=mask_mode,
+                                   cond_len=cond_len, impl=impl)
+    return out.reshape(b, n, hd)
 
 
 def _packed_supported(n_heads: int, head_dim: int, n: int, m: int) -> bool:

@@ -79,16 +79,29 @@ def _ln_gemm_kernel(x_ref, g_ref, bt_ref, w_ref, b_ref, o_ref, *,
 
 
 def _pick_blocks(m, d, n, itemsize):
-    """Measured-best policy (v5e, d=768 bf16 sweep in the module docstring):
-    big row blocks dominate — block_m=512 with the widest n-block whose
-    weight slab stays ~4MB reaches bare-dot GEMM speed (99/137 TFLOP/s at
-    n=2304/3072 vs 95/135 for jnp.dot); VMEM-budget-derived small row blocks
-    measured 30-50% slower."""
-    block_n = n
+    """Measured-best policy (v5e; see the r3 sweep note below): 1024-row
+    blocks with a ~1024-wide n block. ENHANCING_TPU_LNGEMM_BLOCKS="bm,bn"
+    overrides for tuning."""
+    import os
+    env = os.environ.get("ENHANCING_TPU_LNGEMM_BLOCKS")
+    if env:
+        bm, bn = (int(t) for t in env.split(","))
+        return min(bm, m), min(bn, n)
+    # r3 re-sweep (chained-pair methodology, d=768 n=3072, v5e):
+    # 1024x1024 -> 220 TF/s vs 512x1536 -> 169 and 512x3072 -> 175 — the
+    # weight matrix is re-read once per ROW block (m/bm times), so doubling
+    # bm halves W traffic; bn then shrinks to keep the W tile + fp32
+    # accumulator in VMEM (2048-row and 12MB-accumulator configs crash the
+    # Mosaic compiler). Deep-d (flagship 6144) keeps bm at 512 so the
+    # full-d x block stays ~3MB.
+    block_m = 1024 if d * 1024 * itemsize <= 3 * 1024 * 1024 else 512
+    block_m = min(block_m, m)
+    block_n = min(n, 1024)
     while (block_n > 512 and block_n % 2 == 0
-           and d * block_n * itemsize > 4 * 1024 * 1024):
+           and (d * block_n * itemsize > 4 * 1024 * 1024
+                or block_m * block_n * 4 > 4 * 1024 * 1024)):
         block_n //= 2
-    return min(512, m), block_n
+    return block_m, block_n
 
 
 def _supported(m, d, n, dtype):

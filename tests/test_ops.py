@@ -347,6 +347,33 @@ def test_attention_proj_fused_matches_xla(rng, shape, mode, cl):
         assert rel < 1e-3, (name, rel)
 
 
+@pytest.mark.parametrize("shape,mode,cl", [
+    ((2, 64, 4, 64), "none", 0),
+    ((1, 64, 2, 128), "none", 0),
+    ((1, 33, 4, 64), "prefix_causal", 3),
+    ((2, 40, 8, 32), "prefix_causal", 2),
+])
+def test_attention_packed_qkv_matches_split(rng, shape, mode, cl):
+    """The fused-qkv-buffer entry (lane-offset BlockSpecs into one buffer,
+    in-kernel q scale) == split + packed kernel == XLA — values and grads."""
+    b, n, h, d = shape
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * d)), jnp.float32) \
+        * 0.3
+    out = att.multihead_attention_packed_qkv(
+        qkv, h, d, mask_mode=mode, cond_len=cl, impl="pallas")
+    q3, k3, v3 = att._qkv_split_scaled(qkv, d, d ** -0.5)
+    ref = att._attention_xla_packed(q3, k3, v3, mode, cl, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+
+    g = jax.grad(lambda qkv: jnp.sum(att.multihead_attention_packed_qkv(
+        qkv, h, d, mask_mode=mode, cond_len=cl, impl="pallas") ** 2))(qkv)
+    gr = jax.grad(lambda qkv: jnp.sum(att._attention_xla_packed(
+        *att._qkv_split_scaled(qkv, d, d ** -0.5), mode, cl, d) ** 2))(qkv)
+    rel = float(jnp.abs(g - gr).max()) / (float(jnp.abs(gr).max()) + 1e-12)
+    assert rel < 1e-3, rel
+
+
 def test_attention_proj_module_path(rng):
     """stage-1 Attention(residual=...) == residual + to_out(attention) with
     the same params (checkpoint-layout compatibility of the fused path)."""
