@@ -29,7 +29,7 @@ from ...ops.attention import (attention_proj_packed,
                               multihead_attention_bnhd,
                               multihead_attention_packed_qkv)
 from ...ops.ffn import fused_ffn
-from ...ops.ln_gemm import fused_ln_gemm
+from ...ops.ln_gemm import fused_layernorm, fused_ln_gemm
 
 Size = Union[int, Tuple[int, int], Sequence[int]]
 
@@ -304,7 +304,11 @@ class Transformer(nn.Module):
                               self.mlp_dim, dtype=self.dtype,
                               ffn_impl=self.ffn_impl,
                               name=f"layers_{i}")(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        # Final LN as the single-pass Pallas kernel (param layout identical
+        # to nn.LayerNorm): XLA's emission of this unfusable-into-a-dot LN
+        # ran at ~122 GB/s on the headline step (3.3 ms/201 MB, profiled r3).
+        lnf = _LNParams(self.dim, name="norm")()
+        return fused_layernorm(x.astype(self.dtype), lnf[0], lnf[1])
 
 
 class ViTEncoder(nn.Module):

@@ -518,6 +518,58 @@ def test_fused_ln_gemm_grads_match_unfused(rng):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=3e-5)
 
 
+def test_lngemm_blocks_divide_n():
+    """A block_n that does not divide n computes dead padded columns on the
+    MXU (the qkv n=2304 GEMM @ bn=1024 wasted 33% of its MACs, profiled r3);
+    the picker must return an even split when one exists."""
+    from enhancing_tpu.ops.ln_gemm import _pick_blocks
+
+    bm, bn = _pick_blocks(131072, 768, 2304, 2)  # qkv (d=768, 3 * 768)
+    assert 2304 % bn == 0 and bn % 128 == 0 and bn >= 256
+    bm, bn = _pick_blocks(131072, 768, 3072, 2)  # fc1 — unchanged optimum
+    assert (bm, bn) == (1024, 1024)
+
+
+def test_fused_layernorm_matches_flax(rng):
+    """Standalone Pallas LayerNorm == flax nn.LayerNorm (the XLA twin is
+    bit-exact; the kernel is allclose), values and grads."""
+    from flax import linen as nn
+
+    from enhancing_tpu.ops.ln_gemm import fused_layernorm, layernorm_xla
+
+    m, d = 72, 256
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(d), jnp.float32)
+
+    want = nn.LayerNorm(epsilon=1e-5).apply(
+        {"params": {"scale": g, "bias": bt}}, x)
+    np.testing.assert_array_equal(
+        np.asarray(layernorm_xla(x, g, bt)), np.asarray(want))
+    got = fused_layernorm(x, g, bt, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    # batched (B, N, d) input reshapes through the kernel
+    x3 = jnp.asarray(rng.standard_normal((4, 24, d)), jnp.float32)
+    got3 = fused_layernorm(x3, g, bt, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got3),
+        np.asarray(nn.LayerNorm(epsilon=1e-5).apply(
+            {"params": {"scale": g, "bias": bt}}, x3)), atol=2e-6)
+
+    def loss_fused(x, g_, b_):
+        return jnp.sum(fused_layernorm(x, g_, b_) ** 2)
+
+    def loss_ref(x, g_, b_):
+        return jnp.sum(nn.LayerNorm(epsilon=1e-5).apply(
+            {"params": {"scale": g_, "bias": b_}}, x) ** 2)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, g, bt)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, g, bt)
+    for u, v in zip(got, want):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=3e-5)
+
+
 @pytest.mark.parametrize("b", [6, 8])
 def test_decode_attention_batched_blocks(rng, b):
     """Batch-blocked decode grid (block_b rows per program) == XLA ref:
