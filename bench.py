@@ -66,7 +66,9 @@ def count_flops() -> None:
 
 def main() -> None:
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
-    maybe_enable_from_env()
+    maybe_enable_from_env(
+        default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".compile_cache"))
     import jax
     import jax.numpy as jnp
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ

@@ -33,10 +33,16 @@ def enable_compilation_cache(cache_dir: str | Path) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def maybe_enable_from_env() -> Optional[str]:
-    """Enable the cache if ENHANCING_TPU_COMPILE_CACHE is set; returns the
-    directory used (or None)."""
-    cache_dir = os.environ.get(ENV_VAR)
+def maybe_enable_from_env(default: str | Path | None = None) -> Optional[str]:
+    """Enable the cache if ENHANCING_TPU_COMPILE_CACHE is set (or ``default``
+    is given); returns the directory used (or None).
+
+    ``default`` lets entrypoints with no user-facing flag (bench.py,
+    __graft_entry__) opt into a repo-local cache: through the axon relay a
+    cold compile of the full bench program has been observed to take >15
+    minutes, so warming the cache once makes every later driver run cheap.
+    """
+    cache_dir = os.environ.get(ENV_VAR) or (str(default) if default else None)
     if cache_dir:
         enable_compilation_cache(cache_dir)
     return cache_dir or None
