@@ -42,13 +42,37 @@ class VQLPIPS:
                  loggaussian_weight: float = 1.0,
                  perceptual_weight: float = 1.0,
                  lpips_weights: Optional[str] = None,
+                 allow_random_lpips: bool = False,
                  image_size: int = 256, seed: int = 0) -> None:
+        # A silently-random "LPIPS" trains a subtly wrong model; a user who
+        # missed the init_lpips UserWarning would only find out from the
+        # final metrics. Record the condition here; the Trainer refuses to
+        # TRAIN against it (check_trainable) unless `allow_random_lpips:
+        # true` — eval-only consumers (reconstruct/sample scripts) stay
+        # usable. The reference has no silent fallback either: it
+        # unconditionally downloads pretrained VGG (vqperceptual.py:29).
+        self.lpips_is_random = bool(perceptual_weight > 0
+                                    and not lpips_weights)
+        self.allow_random_lpips = allow_random_lpips
         self.codebook_weight = codebook_weight
         self.loglaplace_weight = loglaplace_weight
         self.loggaussian_weight = loggaussian_weight
         self.perceptual_weight = perceptual_weight
         self.perceptual, self.lpips_params = init_lpips(
             jax.random.PRNGKey(seed), image_size, lpips_weights)
+
+    def check_trainable(self) -> None:
+        """Raise unless training against this loss is metrically sound
+        (called by the Trainer before building stage-1 train steps)."""
+        if self.lpips_is_random and not self.allow_random_lpips:
+            raise ValueError(
+                "perceptual_weight > 0 but no `lpips_weights` checkpoint was "
+                "provided: the perceptual term would be a random-projection "
+                "distance, not LPIPS — training would silently optimize a "
+                "wrong objective. Pass `lpips_weights: <path to a torch "
+                "vgg+lin checkpoint>` in the loss params, set "
+                "`perceptual_weight: 0.0`, or opt in explicitly with "
+                "`allow_random_lpips: true` (tests/smoke runs only).")
 
     def nll_loss(self, x: jax.Array, xrec: jax.Array,
                  lpips_params=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -96,10 +120,11 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
                  r1_gamma: float = 10.0,
                  do_r1_every: int = 16,
                  lpips_weights: Optional[str] = None,
+                 allow_random_lpips: bool = False,
                  image_size: int = 256, seed: int = 0) -> None:
         super().__init__(codebook_weight, loglaplace_weight,
                          loggaussian_weight, perceptual_weight,
-                         lpips_weights, image_size, seed)
+                         lpips_weights, allow_random_lpips, image_size, seed)
         assert disc_loss in GAN_LOSSES, f"Unknown GAN loss '{disc_loss}'."
         self.disc_loss = GAN_LOSSES[disc_loss]
         self.discriminator_iter_start = disc_start

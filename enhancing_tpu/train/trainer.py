@@ -89,6 +89,11 @@ class Trainer:
 
     def _build_stage1(self, model: ViTVQ):
         loss_obj = model.loss
+        if hasattr(loss_obj, "check_trainable"):
+            # refuse to train against a randomly-initialized "LPIPS"
+            # (losses/vqperceptual.py:check_trainable) — eval-only uses of
+            # the same loss object stay allowed
+            loss_obj.check_trainable()
         sched = None
         if model.scheduler is not None:
             from ..utils.config import initialize_from_config

@@ -41,8 +41,16 @@ def maybe_enable_from_env(default: str | Path | None = None) -> Optional[str]:
     __graft_entry__) opt into a repo-local cache: through the axon relay a
     cold compile of the full bench program has been observed to take >15
     minutes, so warming the cache once makes every later driver run cheap.
+
+    When the env var is SET it is honored verbatim — an explicitly empty
+    value disables the cache even when a ``default`` is supplied (the
+    natural off switch); ``default`` applies only when the var is absent.
     """
-    cache_dir = os.environ.get(ENV_VAR) or (str(default) if default else None)
+    env_val = os.environ.get(ENV_VAR)
+    if env_val is not None:
+        cache_dir = env_val or None
+    else:
+        cache_dir = str(default) if default else None
     if cache_dir:
         enable_compilation_cache(cache_dir)
-    return cache_dir or None
+    return cache_dir

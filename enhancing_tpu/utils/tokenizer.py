@@ -26,14 +26,41 @@ from typing import List, Optional, Union
 import numpy as np
 import regex as re
 
-try:  # reference cleans text with ftfy (tokenizer.py:41-44); not in image
+def fix_mojibake(text: str) -> str:
+    """Vendored minimal ftfy equivalent: repair UTF-8 text that was
+    mis-decoded as cp1252/latin-1 (classic mojibake, e.g. ``Ã©`` -> ``é``).
+
+    The reference cleans captions with ``ftfy.fix_text`` (reference
+    enhancing/utils/tokenizer.py:41-44), whose core job on web-scraped
+    captions (CC3M/COCO) is exactly this inversion: re-encode with the
+    wrong codec and decode the recovered bytes as UTF-8. Applied
+    iteratively so double-encoded text also recovers. Plain ASCII and
+    legitimately-accented text round-trip unchanged (their cp1252 bytes
+    are not valid UTF-8 multi-byte sequences).
+    """
+    for _ in range(3):
+        fixed = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                candidate = text.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if candidate != text:
+                fixed = candidate
+                break
+        if fixed is None:
+            return text
+        text = fixed
+    return text
+
+
+try:  # prefer real ftfy when installed (not in this image)
     import ftfy
 
     def _fix_text(text: str) -> str:
         return ftfy.fix_text(text)
-except ImportError:  # pragma: no cover - env without ftfy
-    def _fix_text(text: str) -> str:
-        return text
+except ImportError:
+    _fix_text = fix_mojibake
 
 DEFAULT_BPE_PATHS = (
     "assets/vocab/bpe_simple_vocab_16e6.txt",

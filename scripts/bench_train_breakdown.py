@@ -33,6 +33,7 @@ def build(batch: int, remat: bool, disc_bf16: bool = False):
 
     enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072, remat=remat)
     loss_params = {"image_size": 256, "perceptual_weight": 1.0,
+                   "allow_random_lpips": True,  # benchmark, not training
                    "adversarial_weight": 1.0}
     if disc_bf16:
         # mixed-precision D (params f32, compute bf16) — the analogue of

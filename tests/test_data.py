@@ -136,6 +136,27 @@ def test_clip_tokenizer_digit_splitting():
     assert tok.pat.findall("a_b") == ["a", "_", "b"]
 
 
+def test_fix_mojibake_golden():
+    """Vendored ftfy-equivalent recovers cp1252/latin-1 mojibake captions."""
+    from enhancing_tpu.utils.tokenizer import basic_clean, fix_mojibake
+
+    clean = "The Müller residence — a façade in Zürich café"
+    mojibake_cp1252 = clean.encode("utf-8").decode("cp1252")
+    mojibake_latin1 = clean.encode("utf-8").decode("latin-1")
+    assert mojibake_cp1252 != clean  # e.g. 'Ã©' style garbage
+    assert fix_mojibake(mojibake_cp1252) == clean
+    assert fix_mojibake(mojibake_latin1) == clean
+    # double-encoded (mojibake of mojibake) recovers via iteration
+    double = clean.encode("utf-8").decode("latin-1") \
+        .encode("utf-8").decode("latin-1")
+    assert fix_mojibake(double) == clean
+    # already-clean text is untouched: ASCII and legit accents/CJK/emoji
+    for text in ["a photo of a cat", clean, "東京 🎉 naïve"]:
+        assert fix_mojibake(text) == text
+    # wired into the cleaning pipeline the reference runs before BPE
+    assert basic_clean("  " + mojibake_cp1252 + "  ") == clean
+
+
 def _load_reference_tokenizer():
     """File-spec import of the actual reference tokenizer (ftfy stubbed)."""
     import importlib.util

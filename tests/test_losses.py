@@ -197,6 +197,40 @@ def vq_disc_loss():
                                     adversarial_weight=0.1)
 
 
+def test_random_lpips_refuses_to_train(vq_disc_loss):
+    """perceptual_weight > 0 without lpips_weights: constructable (eval-only
+    paths keep working) but check_trainable — called by Trainer before
+    building stage-1 steps — raises unless allow_random_lpips opts in."""
+    assert vq_disc_loss.lpips_is_random
+    with pytest.raises(ValueError, match="allow_random_lpips"):
+        vq_disc_loss.check_trainable()
+    ok = VQLPIPSWithDiscriminator(image_size=32, perceptual_weight=0.5,
+                                  allow_random_lpips=True)
+    ok.check_trainable()
+    off = VQLPIPSWithDiscriminator(image_size=32, perceptual_weight=0.0)
+    assert not off.lpips_is_random
+    off.check_trainable()
+
+
+def test_trainer_refuses_random_lpips_config(tmp_path):
+    """End to end: a Trainer.fit-bound build on a shipped-style config
+    (perceptual_weight 0.1, no weights) fails loudly at step-build time."""
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    from enhancing_tpu.train import Trainer
+
+    tiny = dict(dim=32, depth=1, heads=2, mlp_dim=64)
+    model = ViTVQ(
+        image_size=16, patch_size=8, encoder=tiny, decoder=tiny,
+        quantizer=dict(embed_dim=8, n_embed=32),
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 16, "perceptual_weight": 0.1,
+                         "adversarial_weight": 0.1}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, max_steps=1)
+    with pytest.raises(ValueError, match="allow_random_lpips"):
+        trainer._build_stage1(model)
+
+
 def test_generator_and_disc_losses(vq_disc_loss, rng):
     loss_obj = vq_disc_loss
     x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)

@@ -137,5 +137,13 @@ def test_compile_cache_env_gate(tmp_path, monkeypatch):
     monkeypatch.setenv(ENV_VAR, str(tmp_path))
     try:
         assert maybe_enable_from_env() == str(tmp_path)
+        # set-but-empty is the explicit OFF switch, overriding any default
+        monkeypatch.setenv(ENV_VAR, "")
+        assert maybe_enable_from_env(default=tmp_path / "dflt") is None
+        assert not (tmp_path / "dflt").exists()
+        # unset + default => default applies
+        monkeypatch.delenv(ENV_VAR)
+        assert maybe_enable_from_env(
+            default=tmp_path / "dflt") == str(tmp_path / "dflt")
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
