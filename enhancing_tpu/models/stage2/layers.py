@@ -34,6 +34,7 @@ from flax import linen as nn
 from ...ops.attention import (decode_attention, decode_attention_stacked,
                               multihead_attention_bnhd)
 from ...ops.cache import cache_row_update
+from ...ops.ln_gemm import fused_ln_gemm, fused_ln_shift_gemm
 
 normal_init = nn.initializers.normal(stddev=0.02)
 
@@ -142,6 +143,23 @@ class MultiHeadSelfAttention(nn.Module):
         """
         x = self._token_shift(x, prev=shift_prev)
         q, k_new, v_new = self._fused_qkv(x)          # (B, 1, C) each
+        return self._attend_project(q, k_new, v_new, k_cache, v_cache,
+                                    cur_len, layer)
+
+    def decode_qkv(self, qkv: jax.Array, k_cache: jax.Array,
+                   v_cache: jax.Array, cur_len: jax.Array,
+                   layer: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """``decode`` for a caller-computed fused (B, 1, 3C) qkv projection
+        (Block.decode folds LayerNorm + token-shift into that GEMM via
+        ops/ln_gemm.fused_ln_shift_gemm — the decode step is dispatch-bound,
+        and this removes the separate LN/shift kernels per layer/token)."""
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        return self._attend_project(q, k_new, v_new, k_cache, v_cache,
+                                    cur_len, layer)
+
+    def _attend_project(self, q, k_new, v_new, k_cache, v_cache, cur_len,
+                        layer):
         scale = jnp.asarray(self.head_dim**-0.5, q.dtype)
         if k_cache.ndim == 4:
             y = decode_attention_stacked(
@@ -155,7 +173,7 @@ class MultiHeadSelfAttention(nn.Module):
                                  k_new[:, 0].astype(k_cache.dtype),
                                  v_new[:, 0].astype(v_cache.dtype), cur_len,
                                  head_dim=self.head_dim)
-        return self.proj(y[:, None, :].astype(x.dtype)), k_new, v_new
+        return self.proj(y[:, None, :].astype(q.dtype)), k_new, v_new
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -238,14 +256,49 @@ class Block(nn.Module):
         """Returns (x, k_new, v_new, new_shift_state) — cache is read-only;
         the caller writes the new column into the stacked buffers. With
         stacked (L, B, ctx, C) caches, ``layer`` picks this block's slice
-        inside the attention kernel (see MultiHeadSelfAttention.decode)."""
-        h = self.ln1(x)
-        new_shift = h[:, -1, :]
-        a, k_new, v_new = self.attn.decode(h, k_cache, v_cache, cur_len,
-                                           shift_prev, layer)
+        inside the attention kernel (see MultiHeadSelfAttention.decode).
+
+        The per-token decode step is DISPATCH-bound (the README's decode
+        table: ~40% of step time is the non-attention scan body plus
+        relay/dispatch gaps), so both pre-norms are folded into the GEMMs
+        they feed: LN1 + token-shift + the fused qkv projection run as ONE
+        Pallas kernel (ops/ln_gemm.fused_ln_shift_gemm, which also returns
+        the LN output the scan carries as the next token's shift state),
+        and LN2 + fc1 + squared-ReLU as another (fused_ln_gemm). The init
+        path keeps the plain module chain so the param tree is unchanged."""
+        if self.is_initializing():
+            h = self.ln1(x)
+            new_shift = h[:, -1, :]
+            a, k_new, v_new = self.attn.decode(h, k_cache, v_cache, cur_len,
+                                               shift_prev, layer)
+            x = x + a
+            x = x + self.mlp(self.ln2(x))
+            return x, k_new, v_new, new_shift
+        p_ln1 = self.ln1.variables["params"]
+        p_attn = self.attn.variables["params"]
+        names = ("query", "key", "value")
+        w_qkv = jnp.concatenate(
+            [p_attn[n]["kernel"].astype(self.dtype) for n in names], axis=1)
+        b_qkv = (jnp.concatenate([p_attn[n]["bias"] for n in names])
+                 if self.attn_bias else None)
+        qkv, xn = fused_ln_shift_gemm(
+            x, p_ln1["scale"], p_ln1["bias"],
+            p_attn["time_mix"].reshape(-1), shift_prev[:, None, :],
+            w_qkv, b_qkv, eps=1e-5)
+        new_shift = xn[:, -1, :]
+        a, k_new, v_new = self.attn.decode_qkv(qkv, k_cache, v_cache,
+                                               cur_len, layer)
         x = x + a
-        x = x + self.mlp(self.ln2(x))
-        return x, k_new, v_new, new_shift
+        p_ln2 = self.ln2.variables["params"]
+        p_mlp = self.mlp.variables["params"]
+        h = fused_ln_gemm(x, p_ln2["scale"], p_ln2["bias"],
+                          p_mlp["p0"]["kernel"],
+                          p_mlp["p0"]["bias"] if self.mlp_bias else None,
+                          activation="sqrelu", eps=1e-5)
+        h = h @ p_mlp["p1"]["kernel"].astype(self.dtype)
+        if self.mlp_bias:
+            h = h + p_mlp["p1"]["bias"].astype(self.dtype)
+        return x + h, k_new, v_new, new_shift
 
     def prefill(self, x, k_cache, v_cache):
         h = self.ln1(x)
@@ -469,8 +522,15 @@ class GPT(nn.Module):
         cur_len = self.cond_num_tokens + step - 1
         x, cache = self._stack_decode(x, cur_len, cache,
                                       None if jnp.ndim(step) else window)
-        x = self.layer_norm(x)
-        logits = self.head(x[:, -1])
+        if self.is_initializing():
+            logits = self.head(self.layer_norm(x)[:, -1])
+        else:
+            # final LN folded into the vocab-head GEMM (one kernel fewer
+            # per token; same dispatch-bound argument as Block.decode)
+            p_ln = self.layer_norm.variables["params"]
+            logits = fused_ln_gemm(
+                x[:, -1], p_ln["scale"], p_ln["bias"],
+                self.head.variables["params"]["kernel"], None, eps=1e-5)
         return logits, cache
 
 

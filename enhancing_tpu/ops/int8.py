@@ -1,0 +1,317 @@
+"""Weights-only int8 GEMMs for the bandwidth-bound decode path.
+
+Why: autoregressive decode re-reads every matmul weight once per token —
+the README's decode table shows the bf16 samplers running at 58-66% of the
+HBM roofline with params the dominant traffic term. Symmetric per-output-
+channel int8 weights halve that term; the MXU still multiplies in bf16
+(the int8 tile is cast in VMEM after the DMA), so this is a pure HBM-read
+optimization: y = (x @ w_q) * scale + b, exact in the scale factorization
+because the scale is constant along the contraction axis.
+
+The quantization itself runs ONCE, outside the jitted sampler
+(``quantize_channelwise`` / models/stage2/quantize.py) — the int8 tensors
+are real buffers, not a loop-invariant XLA rewrite the while-loop LICM
+might fail to hoist.
+
+The reference has no quantization anywhere (its sampler runs fp16 autocast,
+enhancing/modules/stage2/layers.py:268-303). Kernels follow the library
+pattern: XLA twin for CPU/fallback, Shardy partition rule, Pallas on TPU.
+Inference-only (no custom_vjp): nothing in the decode loop is
+differentiated.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, interpret_mode, use_pallas
+from .ln_gemm import _act, layernorm_xla
+from .partition import partitioned
+
+
+def quantize_channelwise(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8: w ~= w_q * scale.
+
+    w: (..., d, n) — the contraction axis is -2, channels are the LAST
+    axis. Returns (w_q int8 same shape, scale f32 (..., n)).
+    """
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -127, 127)
+    return w_q.astype(jnp.int8), scale
+
+
+# ---------------------------------------------------------------------------
+# y = act((x @ w_q) * scale + b) [+ residual]
+# ---------------------------------------------------------------------------
+
+
+def _int8_gemm_xla(x, w_q, scale, b, residual, activation):
+    out = jnp.dot(x, w_q.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    out = out * scale.astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    out = _act(out, activation)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _int8_gemm_kernel(x_ref, wq_ref, sc_ref, b_ref, *rest, activation,
+                      with_residual):
+    if with_residual:
+        res_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    w = wq_ref[:].astype(x_ref.dtype)
+    out = jax.lax.dot_general(x_ref[:], w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out * sc_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    out = _act(out, activation)
+    if with_residual:
+        out = out + res_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _int8_blocks(m, d, n, itemsize):
+    """Weight tile is int8 (1 byte): budget ~6MB for it, ~4MB fp32 acc."""
+    block_m = min(m, 1024)
+    while block_m > 8 and block_m * d * itemsize > 4 * 1024 * 1024:
+        block_m //= 2
+    block_n = min(n, 2048)
+    while (block_n > 256 and block_n % 2 == 0
+           and (d * block_n > 6 * 1024 * 1024
+                or block_m * block_n * 4 > 4 * 1024 * 1024)):
+        block_n //= 2
+    if n % block_n:
+        for bn in range(block_n - 128, 127, -128):
+            if n % bn == 0:
+                return block_m, bn
+    return block_m, block_n
+
+
+def _int8_supported(m, d, n, dtype):
+    return (m >= 1 and d % 128 == 0 and n % 128 == 0
+            and dtype in (jnp.bfloat16, jnp.float32))
+
+
+def _int8_gemm_pallas(x, w_q, scale, b, residual, activation):
+    m, d = x.shape
+    n = w_q.shape[1]
+    block_m, block_n = _int8_blocks(m, d, n, x.dtype.itemsize)
+    with_residual = residual is not None
+    in_specs = [
+        pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, block_n), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w_q, scale.reshape(1, -1), b.reshape(1, -1)]
+    if with_residual:
+        in_specs.append(pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    return pl.pallas_call(
+        functools.partial(_int8_gemm_kernel, activation=activation,
+                          with_residual=with_residual),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(cdiv(m, block_m), cdiv(n, block_n)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * n,
+            bytes_accessed=m * d * x.dtype.itemsize + d * n + 4 * n
+            + m * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*args)
+
+
+def _int8_gemm_impl(x, w_q, scale, b, activation, impl):
+    m, d = x.shape
+    if use_pallas(impl) and _int8_supported(m, d, w_q.shape[1], x.dtype):
+        return _int8_gemm_pallas(x, w_q, scale, b, None, activation)
+    return _int8_gemm_xla(x, w_q, scale, b, None, activation)
+
+
+def _int8_gemm_res_impl(x, w_q, scale, b, residual, activation, impl):
+    m, d = x.shape
+    if use_pallas(impl) and _int8_supported(m, d, w_q.shape[1], x.dtype):
+        return _int8_gemm_pallas(x, w_q, scale, b, residual, activation)
+    return _int8_gemm_xla(x, w_q, scale, b, residual, activation)
+
+
+# rows shard freely; columns shard with the weight+scale (Megatron column
+# parallel); the contraction axis d must be whole per shard.
+_int8_gemm_part = partitioned(
+    _int8_gemm_impl, "m d, d n, n, n -> m n",
+    need_replication=("d",), static_argnums=(4, 5))
+
+_int8_gemm_res_part = partitioned(
+    _int8_gemm_res_impl, "m d, d n, n, n, m n -> m n",
+    need_replication=("d",), static_argnums=(5, 6))
+
+
+def int8_gemm(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+              b: jax.Array | None = None, *,
+              activation: str | None = None,
+              residual: jax.Array | None = None,
+              impl: str | None = "auto") -> jax.Array:
+    """act((x @ w_q) * scale + b) [+ residual] with int8 weights.
+
+    x: (..., d); w_q: (d, n) int8; scale: (n,) f32 per-output-channel;
+    b: (n,) or None; residual: (..., n) fused post-activation add (the
+    transformer residual — saves a kernel in the dispatch-bound decode).
+    """
+    batch_shape = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    bz = jnp.zeros((w_q.shape[1],), jnp.float32) if b is None else b
+    if residual is not None:
+        out = _int8_gemm_res_part(x2, w_q, scale, bz,
+                                  residual.reshape(-1, w_q.shape[1]),
+                                  activation, impl)
+    else:
+        out = _int8_gemm_part(x2, w_q, scale, bz, activation, impl)
+    return out.reshape(*batch_shape, w_q.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# Decode prologue variant: LN (+ RWKV token-shift) folded in, LN output
+# returned for the sampler's shift state — the int8 twin of
+# ops/ln_gemm.fused_ln_shift_gemm.
+# ---------------------------------------------------------------------------
+
+
+def _int8_ln_gemm_xla(x, gamma, beta, tm, prev, w_q, scale, b, activation,
+                      eps):
+    xn = layernorm_xla(x, gamma, beta, eps)
+    mixed = xn * tm.astype(xn.dtype) + prev.astype(xn.dtype) \
+        * (1.0 - tm.astype(xn.dtype)) if tm is not None else xn
+    out = jnp.dot(mixed, w_q.astype(xn.dtype),
+                  preferred_element_type=jnp.float32)
+    out = out * scale.astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return _act(out, activation).astype(x.dtype), xn
+
+
+def _int8_ln_gemm_kernel(x_ref, g_ref, bt_ref, tm_ref, prev_ref, wq_ref,
+                         sc_ref, b_ref, o_ref, xn_ref, *, activation,
+                         eps, with_shift):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean, 0.0)
+    xn32 = (x32 - mean) * (jax.lax.rsqrt(var + eps)
+                           * g_ref[0].astype(jnp.float32)) \
+        + bt_ref[0].astype(jnp.float32)
+    xn = xn32.astype(x_ref.dtype)
+    xn_ref[:] = xn.astype(xn_ref.dtype)
+    if with_shift:
+        tm = tm_ref[0].astype(x_ref.dtype)
+        mixed = xn * tm + prev_ref[:].astype(x_ref.dtype) * (1.0 - tm)
+    else:
+        mixed = xn
+    w = wq_ref[:].astype(x_ref.dtype)
+    out = jax.lax.dot_general(mixed, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out * sc_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    o_ref[:] = _act(out, activation).astype(o_ref.dtype)
+
+
+def _int8_ln_gemm_pallas(x, gamma, beta, tm, prev, w_q, scale, b,
+                         activation, eps, with_shift):
+    m, d = x.shape
+    n = w_q.shape[1]
+    block_m, block_n = _int8_blocks(m, d, n, x.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_int8_ln_gemm_kernel, activation=activation,
+                          eps=eps, with_shift=with_shift),
+        out_shape=[jax.ShapeDtypeStruct((m, n), x.dtype),
+                   jax.ShapeDtypeStruct((m, d), x.dtype)],
+        grid=(cdiv(m, block_m), cdiv(n, block_n)),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * n,
+            bytes_accessed=2 * m * d * x.dtype.itemsize + d * n
+            + m * n * x.dtype.itemsize,
+            transcendentals=m * n if activation not in (None, "none") else 0,
+        ),
+        interpret=interpret_mode(),
+    )(x, gamma.reshape(1, -1), beta.reshape(1, -1), tm.reshape(1, -1),
+      prev, w_q, scale.reshape(1, -1), b.reshape(1, -1))
+
+
+def _int8_ln_gemm_impl(x, gamma, beta, tm, prev, w_q, scale, b, activation,
+                       eps, with_shift, impl):
+    m, d = x.shape
+    if use_pallas(impl) and _int8_supported(m, d, w_q.shape[1], x.dtype) \
+            and m >= 8:
+        return tuple(_int8_ln_gemm_pallas(x, gamma, beta, tm, prev, w_q,
+                                          scale, b, activation, eps,
+                                          with_shift))
+    return _int8_ln_gemm_xla(x, gamma, beta, tm if with_shift else None,
+                             prev, w_q, scale, b, activation, eps)
+
+
+_int8_ln_gemm_part = partitioned(
+    _int8_ln_gemm_impl, "m d, d, d, d, m d, d n, n, n -> m n, m d",
+    need_replication=("d",), static_argnums=(8, 9, 10, 11))
+
+
+def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                 tm: jax.Array | None, prev: jax.Array | None,
+                 w_q: jax.Array, scale: jax.Array,
+                 b: jax.Array | None = None, *,
+                 activation: str | None = None, eps: float = 1e-5,
+                 impl: str | None = "auto") -> tuple[jax.Array, jax.Array]:
+    """(act((LN(x)*tm + prev*(1-tm)) @ w_q * scale + b), LN(x)), int8 w.
+
+    The int8 twin of ops/ln_gemm.fused_ln_shift_gemm — same semantics,
+    int8 weight tile + per-channel rescale of the output.
+    """
+    batch_shape = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    bz = jnp.zeros((w_q.shape[1],), jnp.float32) if b is None else b
+    with_shift = tm is not None
+    if tm is None:
+        tm = jnp.zeros((d,), jnp.float32)
+    prev2 = (jnp.zeros_like(x2) if prev is None
+             else prev.reshape(-1, d).astype(x.dtype))
+    out, xn = _int8_ln_gemm_part(x2, gamma, beta, tm.reshape(-1), prev2,
+                                 w_q, scale, bz, activation, eps,
+                                 with_shift, impl)
+    return (out.reshape(*batch_shape, w_q.shape[1]),
+            xn.reshape(*batch_shape, d))

@@ -206,6 +206,173 @@ def fused_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Decode-path variant: LN -> RWKV token-shift -> GEMM in ONE kernel, with
+# the LN output as a second result (the sampler carries it as the next
+# token's shift state). The per-token decode step is DISPATCH-bound (~8
+# kernels/layer/token through a relay with ~100us-scale dispatch gaps), so
+# folding LayerNorm + the shift blend + the qkv/fc1 GEMM into one Pallas
+# call removes 2 kernels per layer per token; bandwidth is unchanged (the
+# (B, C) activations are tiny next to the weights).
+#
+# y = act((LN(x) * tm + prev * (1 - tm)) @ w + b),  xn = LN(x)
+# With tm = None the shift is skipped (plain LN -> GEMM, but still
+# returning xn for callers that need the normalized rows).
+# ---------------------------------------------------------------------------
+
+
+def _ln_shift_gemm_xla(x, gamma, beta, tm, prev, w, b, activation, eps):
+    xn = layernorm_xla(x, gamma, beta, eps)
+    mixed = xn * tm.astype(xn.dtype) + prev.astype(xn.dtype) \
+        * (1.0 - tm.astype(xn.dtype)) if tm is not None else xn
+    h = jnp.dot(mixed, w)
+    if b is not None:
+        h = h + b.astype(h.dtype)
+    return _act(h, activation), xn
+
+
+def _ln_shift_gemm_kernel(x_ref, g_ref, bt_ref, tm_ref, prev_ref, w_ref,
+                          b_ref, o_ref, xn_ref, *, activation: str | None,
+                          eps: float, with_shift: bool):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean, 0.0)
+    xn32 = (x32 - mean) * (jax.lax.rsqrt(var + eps)
+                           * g_ref[0].astype(jnp.float32)) \
+        + bt_ref[0].astype(jnp.float32)
+    xn = xn32.astype(x_ref.dtype)
+    xn_ref[:] = xn.astype(xn_ref.dtype)
+    if with_shift:
+        # mix in the COMPUTE dtype — the XLA twin (and the unfused module
+        # path) blends the bf16 LN output, not the fp32 statistics
+        tm = tm_ref[0].astype(x_ref.dtype)
+        mixed = xn * tm + prev_ref[:].astype(x_ref.dtype) * (1.0 - tm)
+    else:
+        mixed = xn
+    out = jax.lax.dot_general(mixed, w_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + b_ref[0].astype(jnp.float32)
+    o_ref[:] = _act(out, activation).astype(o_ref.dtype)
+
+
+def _ln_shift_gemm_pallas(x, gamma, beta, tm, prev, w, b, activation, eps,
+                          with_shift):
+    m, d = x.shape
+    n = w.shape[1]
+    block_m, block_n = _pick_blocks(m, d, n, x.dtype.itemsize)
+    kernel = functools.partial(_ln_shift_gemm_kernel, activation=activation,
+                               eps=eps, with_shift=with_shift)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((m, n), x.dtype),
+                   jax.ShapeDtypeStruct((m, d), x.dtype)],
+        grid=(cdiv(m, block_m), cdiv(n, block_n)),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        # every n-block step rewrites the same xn rows (identical values) —
+        # harmless at the decode shapes this kernel exists for (n/bn = 1-3)
+        out_specs=[pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * n,
+            bytes_accessed=(2 * m * d + d * n + m * n) * x.dtype.itemsize,
+            transcendentals=m * n if activation not in (None, "none") else 0,
+        ),
+        interpret=interpret_mode(),
+    )(x, gamma.reshape(1, -1), beta.reshape(1, -1), tm.reshape(1, -1),
+      prev, w, b.reshape(1, -1))
+
+
+def _ln_shift_gemm_impl(x, gamma, beta, tm, prev, w, b, activation, eps,
+                        with_shift, impl):
+    m, d = x.shape
+    if use_pallas(impl) and _supported(m, d, w.shape[1], x.dtype):
+        return tuple(_ln_shift_gemm_pallas(x, gamma, beta, tm, prev, w, b,
+                                           activation, eps, with_shift))
+    return _ln_shift_gemm_xla(x, gamma, beta, tm if with_shift else None,
+                              prev, w, b, activation, eps)
+
+
+# rows (m) shard freely (the batcher's sharded slots); columns (n) shard
+# with the weight; LN and the shift need each row's full feature axis (d).
+_ln_shift_gemm_part = partitioned(
+    _ln_shift_gemm_impl, "m d, d, d, d, m d, d n, n -> m n, m d",
+    need_replication=("d",), static_argnums=(7, 8, 9, 10))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _ln_shift_gemm(x, gamma, beta, tm, prev, w, b, activation, eps,
+                   with_shift, impl):
+    return _ln_shift_gemm_part(x, gamma, beta, tm, prev, w, b, activation,
+                               eps, with_shift, impl)
+
+
+def _ln_shift_gemm_fwd(x, gamma, beta, tm, prev, w, b, activation, eps,
+                       with_shift, impl):
+    return (_ln_shift_gemm_part(x, gamma, beta, tm, prev, w, b, activation,
+                                eps, with_shift, impl),
+            (x, gamma, beta, tm, prev, w, b))
+
+
+def _ln_shift_gemm_bwd(activation, eps, with_shift, impl, res, g):
+    x, gamma, beta, tm, prev, w, b = res
+    _, vjp = jax.vjp(
+        lambda x_, g_, bt_, tm_, p_, w_, b_: _ln_shift_gemm_xla(
+            x_, g_, bt_, tm_ if with_shift else None, p_, w_, b_, activation,
+            eps),
+        x, gamma, beta, tm, prev, w, b)
+    return vjp(g)
+
+
+_ln_shift_gemm.defvjp(_ln_shift_gemm_fwd, _ln_shift_gemm_bwd)
+
+
+def fused_ln_shift_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                        tm: jax.Array | None, prev: jax.Array | None,
+                        w: jax.Array, b: jax.Array | None = None, *,
+                        activation: str | None = None, eps: float = 1e-5,
+                        impl: str | None = "auto"
+                        ) -> tuple[jax.Array, jax.Array]:
+    """(act((LN(x)*tm + prev*(1-tm)) @ w + b), LN(x)) in one kernel.
+
+    x: (..., d); gamma/beta: (d,); tm: (d,) RWKV time_mix (None skips the
+    shift blend); prev: (..., d) the previous token's LN output; w: (d, n);
+    b: (n,) or None. Returns (out (..., n), xn (..., d)) — ``xn`` is the LN
+    output this token contributes as the NEXT token's ``prev``.
+    Built for the dispatch-bound decode step; numerics match the unfused
+    LayerNorm -> token-shift -> Dense module chain exactly (same XLA-twin
+    pattern as fused_ln_gemm).
+    """
+    batch_shape = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    w = w.astype(x.dtype)
+    bz = jnp.zeros((w.shape[1],), jnp.float32) if b is None else b
+    with_shift = tm is not None
+    if tm is None:
+        tm = jnp.zeros((d,), jnp.float32)
+    prev2 = (jnp.zeros_like(x2) if prev is None
+             else prev.reshape(-1, d).astype(x.dtype))
+    out, xn = _ln_shift_gemm(x2, gamma, beta, tm.reshape(-1), prev2, w, bz,
+                             activation, eps, with_shift, impl)
+    return (out.reshape(*batch_shape, w.shape[1]),
+            xn.reshape(*batch_shape, d))
+
+
+# ---------------------------------------------------------------------------
 # Standalone fused LayerNorm (single read -> stats -> normalize -> single
 # write). Used where no GEMM follows to fuse into (the transformer stacks'
 # FINAL LayerNorm feeds the tiny pre_quant / to_pixel projections whose n is

@@ -139,12 +139,15 @@ def test_sharded_sampling_matches_per_shard(devices):
                                       np.asarray(want))
 
 
-def test_sharded_rq_sampling_shapes(devices):
+def test_sharded_rq_sampling_matches_per_shard(devices):
+    """sample_rq_sharded over an 8-device data mesh == running sample_rq
+    per shard with that shard's rng stream (the GPT pin's RQ sibling)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from enhancing_tpu.models.stage2 import RQTransformer, sample_rq_sharded
+    from enhancing_tpu.models.stage2 import (RQTransformer, sample_rq,
+                                             sample_rq_sharded)
     from enhancing_tpu.parallel import make_mesh
 
     n = len(devices)
@@ -153,14 +156,22 @@ def test_sharded_rq_sampling_shapes(devices):
                       cond_num_tokens=1, img_num_tokens=4, depth_num_tokens=2,
                       spatial_n_heads=4, depth_n_heads=4, spatial_n_layers=2,
                       depth_n_layers=2)
-    conds = jnp.zeros((n, 1), jnp.int32)
+    conds = jnp.asarray(
+        np.random.default_rng(0).integers(0, 10, (n, 1)), jnp.int32)
     vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2), jnp.int32),
                 conds[:1])
-    logits, codes = sample_rq_sharded(mesh, m, vs, conds,
-                                      jax.random.PRNGKey(1), top_k=8)
+    rng = jax.random.PRNGKey(1)
+    logits, codes = sample_rq_sharded(mesh, m, vs, conds, rng, top_k=8)
     assert codes.shape == (n, 4, 2)
     assert logits.shape == (n * 4, 2, 32)
     assert np.isfinite(np.asarray(logits)).all()
+
+    keys = jax.random.split(rng, n)
+    for shard in range(n):
+        _, want = sample_rq(m, vs, conds[shard:shard + 1], keys[shard],
+                            top_k=8)
+        np.testing.assert_array_equal(np.asarray(codes[shard:shard + 1]),
+                                      np.asarray(want))
 
 
 def test_zero1_optimizer_state_sharded_and_training_matches(devices):
