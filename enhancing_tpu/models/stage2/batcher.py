@@ -39,18 +39,15 @@ from .sampling import _draw
 def _scatter_slot(cache, cache1, slot):
     """Write a batch-1 cache into row ``slot`` of the pool cache, in place
     (the pool is donated — without donation every admission would COPY the
-    whole multi-GB KV pool for a one-row update)."""
-    return {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], cache1["k"].astype(cache["k"].dtype),
-            (0, slot, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], cache1["v"].astype(cache["v"].dtype),
-            (0, slot, 0, 0)),
-        "shift": jax.lax.dynamic_update_slice(
-            cache["shift"], cache1["shift"].astype(cache["shift"].dtype),
-            (0, slot, 0)),
-    }
+    whole multi-GB KV pool for a one-row update). Generic over the cache
+    keys (int8 caches carry k_scale/v_scale too); batch is axis 1 of every
+    entry."""
+    def put(pool, one):
+        idx = (0, slot) + (0,) * (pool.ndim - 2)
+        return jax.lax.dynamic_update_slice(pool, one.astype(pool.dtype),
+                                            idx)
+
+    return jax.tree.map(put, cache, cache1)
 
 
 class _SlotPool:
@@ -91,14 +88,13 @@ class _SlotPool:
             assert self.num_slots % n_shards == 0, (
                 f"num_slots {self.num_slots} not divisible by data-axis "
                 f"size {n_shards}")
-            row4 = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
-            row3 = NamedSharding(mesh, P(None, DATA_AXIS, None))
             row1 = NamedSharding(mesh, P(DATA_AXIS))
-            self._cache = {
-                "k": jax.device_put(self._cache["k"], row4),
-                "v": jax.device_put(self._cache["v"], row4),
-                "shift": jax.device_put(self._cache["shift"], row3),
-            }
+            # every cache entry (k/v 4D, shift + int8 scales 3D) has the
+            # slot axis at position 1
+            self._cache = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(
+                    mesh, P(None, DATA_AXIS, *([None] * (a.ndim - 2))))),
+                self._cache)
             self._steps = jax.device_put(self._steps, row1)
             self._row1 = row1
         self._slot_req: List[Optional[int]] = [None] * self.num_slots

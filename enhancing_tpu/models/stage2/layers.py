@@ -33,10 +33,37 @@ from flax import linen as nn
 
 from ...ops.attention import (decode_attention, decode_attention_stacked,
                               multihead_attention_bnhd)
-from ...ops.cache import cache_row_update
+from ...ops.cache import cache_row_update, scale_row_update
+from ...ops.int8 import int8_gemm, int8_ln_gemm, int8_mlp_decode
 from ...ops.ln_gemm import fused_ln_gemm, fused_ln_shift_gemm
 
 normal_init = nn.initializers.normal(stddev=0.02)
+
+
+def _lnfuse_sites() -> frozenset:
+    """Which decode-path LN fusions are active (trace-time):
+    ENHANCING_TPU_DECODE_LNFUSE = "all" | "none" | comma list of
+    {"qkv", "mlp", "head"}.
+
+    MEASURED AND REJECTED as the bf16 default (v5e, 1024d x 16L sampler,
+    b8, r4 A/B with everything else fixed): none 5520 tok/s, qkv-only
+    5421, mlp-only 5266, all three 5157. Folding LN (+token-shift) into
+    the Pallas GEMMs removes 2-3 kernels/layer/token, but at decode shapes
+    (m = batch, 8-64 rows) the Mosaic kernels lose more to fixed overhead
+    and weaker DMA pipelining than the elided XLA LN fusions cost — the
+    "dispatch-bound" lever was already priced in by XLA's own fusion.
+    Kept as an opt-in for re-testing on other topologies. The INT8 decode
+    path (quantize_decode_params) always uses the fused int8 kernels:
+    there the Pallas GEMM is mandatory anyway (XLA cannot fuse operand
+    dequantization into a dot — it would materialize bf16 weights), and
+    the halved weight reads dominate the same overhead."""
+    import os
+    v = os.environ.get("ENHANCING_TPU_DECODE_LNFUSE", "none")
+    if v in ("all", "1"):
+        return frozenset({"qkv", "mlp", "head"})
+    if v in ("0", "none", ""):
+        return frozenset()
+    return frozenset(t.strip() for t in v.split(","))
 
 
 def _time_mix_init(key, shape, dtype=jnp.float32):
@@ -113,7 +140,9 @@ class MultiHeadSelfAttention(nn.Module):
 
     def decode(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                cur_len: jax.Array, shift_prev: jax.Array,
-               layer: Optional[jax.Array] = None
+               layer: Optional[jax.Array] = None,
+               k_scale: Optional[jax.Array] = None,
+               v_scale: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One-token cached decode — READ-ONLY on the cache.
 
@@ -144,11 +173,13 @@ class MultiHeadSelfAttention(nn.Module):
         x = self._token_shift(x, prev=shift_prev)
         q, k_new, v_new = self._fused_qkv(x)          # (B, 1, C) each
         return self._attend_project(q, k_new, v_new, k_cache, v_cache,
-                                    cur_len, layer)
+                                    cur_len, layer, k_scale, v_scale)
 
     def decode_qkv(self, qkv: jax.Array, k_cache: jax.Array,
                    v_cache: jax.Array, cur_len: jax.Array,
-                   layer: Optional[jax.Array] = None
+                   layer: Optional[jax.Array] = None,
+                   k_scale: Optional[jax.Array] = None,
+                   v_scale: Optional[jax.Array] = None
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """``decode`` for a caller-computed fused (B, 1, 3C) qkv projection
         (Block.decode folds LayerNorm + token-shift into that GEMM via
@@ -156,24 +187,37 @@ class MultiHeadSelfAttention(nn.Module):
         and this removes the separate LN/shift kernels per layer/token)."""
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
         return self._attend_project(q, k_new, v_new, k_cache, v_cache,
-                                    cur_len, layer)
+                                    cur_len, layer, k_scale, v_scale)
 
     def _attend_project(self, q, k_new, v_new, k_cache, v_cache, cur_len,
-                        layer):
+                        layer, k_scale=None, v_scale=None):
         scale = jnp.asarray(self.head_dim**-0.5, q.dtype)
         if k_cache.ndim == 4:
             y = decode_attention_stacked(
                 q[:, 0] * scale, k_cache, v_cache,
-                k_new[:, 0].astype(k_cache.dtype),
-                v_new[:, 0].astype(v_cache.dtype), cur_len,
+                k_new[:, 0].astype(
+                    q.dtype if k_scale is not None else k_cache.dtype),
+                v_new[:, 0].astype(
+                    q.dtype if v_scale is not None else v_cache.dtype),
+                cur_len,
                 jnp.int32(0) if layer is None else layer,
-                head_dim=self.head_dim)
+                head_dim=self.head_dim, k_scale=k_scale, v_scale=v_scale)
         else:
             y = decode_attention(q[:, 0] * scale, k_cache, v_cache,
                                  k_new[:, 0].astype(k_cache.dtype),
                                  v_new[:, 0].astype(v_cache.dtype), cur_len,
                                  head_dim=self.head_dim)
-        return self.proj(y[:, None, :].astype(q.dtype)), k_new, v_new
+        y2 = y[:, None, :].astype(q.dtype)
+        qv = (None if self.is_initializing()
+              else self.variables.get("quant"))
+        if qv is not None and "proj" in qv:
+            # int8 output projection (weights-only serving quantization —
+            # models/stage2/quantize.py put the "quant" collection here)
+            bp = (self.proj.variables["params"]["bias"]
+                  if self.attn_bias else None)
+            return (int8_gemm(y2, qv["proj"]["kernel_q"],
+                              qv["proj"]["scale"], bp), k_new, v_new)
+        return self.proj(y2), k_new, v_new
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -252,20 +296,21 @@ class Block(nn.Module):
         x = self._sp(x + self.mlp(self.ln2(x)))
         return x
 
-    def decode(self, x, k_cache, v_cache, cur_len, shift_prev, layer=None):
+    def decode(self, x, k_cache, v_cache, cur_len, shift_prev, layer=None,
+               k_scale=None, v_scale=None):
         """Returns (x, k_new, v_new, new_shift_state) — cache is read-only;
         the caller writes the new column into the stacked buffers. With
         stacked (L, B, ctx, C) caches, ``layer`` picks this block's slice
         inside the attention kernel (see MultiHeadSelfAttention.decode).
 
-        The per-token decode step is DISPATCH-bound (the README's decode
-        table: ~40% of step time is the non-attention scan body plus
-        relay/dispatch gaps), so both pre-norms are folded into the GEMMs
-        they feed: LN1 + token-shift + the fused qkv projection run as ONE
-        Pallas kernel (ops/ln_gemm.fused_ln_shift_gemm, which also returns
-        the LN output the scan carries as the next token's shift state),
-        and LN2 + fc1 + squared-ReLU as another (fused_ln_gemm). The init
-        path keeps the plain module chain so the param tree is unchanged."""
+        ``k_scale``/``v_scale``: (L, B, ctx) per-row dequant scales when
+        the cache stacks are INT8 (see GPT ``kv_int8``).
+
+        With a "quant" collection present (weights-only int8 serving,
+        models/stage2/quantize.py) the GEMMs run as int8 Pallas kernels
+        with LN (+token-shift) folded in. For bf16, the LN fusions exist
+        but are OFF by default — measured slower than XLA's own LN fusion
+        at decode shapes; see _lnfuse_sites for the numbers."""
         if self.is_initializing():
             h = self.ln1(x)
             new_shift = h[:, -1, :]
@@ -274,31 +319,69 @@ class Block(nn.Module):
             x = x + a
             x = x + self.mlp(self.ln2(x))
             return x, k_new, v_new, new_shift
+        sites = _lnfuse_sites()
         p_ln1 = self.ln1.variables["params"]
         p_attn = self.attn.variables["params"]
+        qv_attn = self.attn.variables.get("quant")
         names = ("query", "key", "value")
-        w_qkv = jnp.concatenate(
-            [p_attn[n]["kernel"].astype(self.dtype) for n in names], axis=1)
         b_qkv = (jnp.concatenate([p_attn[n]["bias"] for n in names])
                  if self.attn_bias else None)
-        qkv, xn = fused_ln_shift_gemm(
-            x, p_ln1["scale"], p_ln1["bias"],
-            p_attn["time_mix"].reshape(-1), shift_prev[:, None, :],
-            w_qkv, b_qkv, eps=1e-5)
-        new_shift = xn[:, -1, :]
-        a, k_new, v_new = self.attn.decode_qkv(qkv, k_cache, v_cache,
-                                               cur_len, layer)
+        tm = p_attn["time_mix"].reshape(-1)
+        if qv_attn is not None:
+            # weights-only int8 serving (models/stage2/quantize.py): same
+            # fused LN+shift+GEMM, int8 weight tile + per-channel rescale
+            wq = jnp.concatenate([qv_attn[n]["kernel_q"] for n in names],
+                                 axis=-1)
+            sc = jnp.concatenate([qv_attn[n]["scale"] for n in names],
+                                 axis=-1)
+            qkv, xn = int8_ln_gemm(x, p_ln1["scale"], p_ln1["bias"], tm,
+                                   shift_prev[:, None, :], wq, sc, b_qkv,
+                                   eps=1e-5)
+            new_shift = xn[:, -1, :]
+        elif "qkv" in sites:
+            w_qkv = jnp.concatenate(
+                [p_attn[n]["kernel"].astype(self.dtype) for n in names],
+                axis=1)
+            qkv, xn = fused_ln_shift_gemm(
+                x, p_ln1["scale"], p_ln1["bias"], tm,
+                shift_prev[:, None, :], w_qkv, b_qkv, eps=1e-5)
+            new_shift = xn[:, -1, :]
+        else:
+            h = self.ln1(x)
+            new_shift = h[:, -1, :]
+            a, k_new, v_new = self.attn.decode(h, k_cache, v_cache,
+                                               cur_len, shift_prev, layer,
+                                               k_scale, v_scale)
+            qkv = None
+        if qkv is not None:
+            a, k_new, v_new = self.attn.decode_qkv(qkv, k_cache, v_cache,
+                                                   cur_len, layer,
+                                                   k_scale, v_scale)
         x = x + a
         p_ln2 = self.ln2.variables["params"]
         p_mlp = self.mlp.variables["params"]
-        h = fused_ln_gemm(x, p_ln2["scale"], p_ln2["bias"],
-                          p_mlp["p0"]["kernel"],
-                          p_mlp["p0"]["bias"] if self.mlp_bias else None,
-                          activation="sqrelu", eps=1e-5)
-        h = h @ p_mlp["p1"]["kernel"].astype(self.dtype)
-        if self.mlp_bias:
-            h = h + p_mlp["p1"]["bias"].astype(self.dtype)
-        return x + h, k_new, v_new, new_shift
+        qv_mlp = self.mlp.variables.get("quant")
+        b0 = p_mlp["p0"]["bias"] if self.mlp_bias else None
+        b1 = p_mlp["p1"]["bias"] if self.mlp_bias else None
+        if qv_mlp is not None:
+            # whole pre-norm MLP as ONE int8 kernel (LN -> fc1 -> sqrelu ->
+            # p1 -> +residual; ops/int8.int8_mlp_decode) — launch count is
+            # the measured decode bottleneck, not any single fusion
+            return (int8_mlp_decode(
+                        x, p_ln2["scale"], p_ln2["bias"],
+                        qv_mlp["p0"]["kernel_q"], qv_mlp["p0"]["scale"], b0,
+                        qv_mlp["p1"]["kernel_q"], qv_mlp["p1"]["scale"], b1,
+                        residual=x, activation="sqrelu", eps=1e-5),
+                    k_new, v_new, new_shift)
+        if "mlp" in sites:
+            h = fused_ln_gemm(x, p_ln2["scale"], p_ln2["bias"],
+                              p_mlp["p0"]["kernel"], b0,
+                              activation="sqrelu", eps=1e-5)
+            h = h @ p_mlp["p1"]["kernel"].astype(self.dtype)
+            if self.mlp_bias:
+                h = h + b1.astype(self.dtype)
+            return x + h, k_new, v_new, new_shift
+        return x + self.mlp(self.ln2(x)), k_new, v_new, new_shift
 
     def prefill(self, x, k_cache, v_cache):
         h = self.ln1(x)
@@ -321,11 +404,12 @@ class Block(nn.Module):
         # unchanged) and each step indexes its layer inside the attention
         # kernel — as scan xs they would be sliced at the XLA level, which
         # copies (B, ctx, C) of k and v per layer per decoded token.
-        x, cur_len, k_stack, v_stack = carry
+        # ks/vs: per-row dequant scale stacks (int8 cache) or None.
+        x, cur_len, k_stack, v_stack, ks, vs = carry
         shift, layer = kvs
         x, k2, v2, s2 = self.decode(x, k_stack, v_stack, cur_len, shift,
-                                    layer)
-        return (x, cur_len, k_stack, v_stack), (k2, v2, s2)
+                                    layer, ks, vs)
+        return (x, cur_len, k_stack, v_stack, ks, vs), (k2, v2, s2)
 
     def scan_prefill(self, x, kvs):
         k, v = kvs
@@ -348,6 +432,11 @@ class GPT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = True
     remat: bool = False
+    # INT8 KV cache with per-row dequant scales: halves the cache-read HBM
+    # traffic of the param+cache-bound decode (README decode table). The
+    # current token's k/v and all compute stay full precision; composes
+    # with weights-only int8 (quantize_decode_params).
+    kv_int8: bool = False
     # sequence parallelism for the residual stream (see Block.sp_mesh)
     sp_mesh: Optional[jax.sharding.Mesh] = None
 
@@ -373,7 +462,7 @@ class GPT(nn.Module):
             target = nn.remat(Block) if self.remat else Block
             scanned = nn.scan(
                 target,
-                variable_axes={"params": 0, "constants": 0},
+                variable_axes={"params": 0, "constants": 0, "quant": 0},
                 split_rngs={"params": True},
                 length=self.n_layers,
                 methods=["scan_call", "scan_decode", "scan_prefill"])
@@ -428,6 +517,20 @@ class GPT(nn.Module):
         # for the Pallas decode kernel, contiguous one-row cache writes.
         # ctx padded to a sublane multiple for the in-place row-write
         # kernel (ops/cache.py); rows >= cur_len are never read.
+        if self.kv_int8:
+            # 128-mult ctx: the decode kernel's (1, bb, bk) f32 scale
+            # blocks need bk | ctx with bk in {128, 256}; int8 row-write
+            # tiles are 32 rows (also satisfied)
+            ctx_pad = -(-self.ctx_len // 128) * 128
+            shape = (self.n_layers, batch, ctx_pad, self.embed_dim)
+            return {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:3], jnp.float32),
+                "v_scale": jnp.zeros(shape[:3], jnp.float32),
+                "shift": jnp.zeros((self.n_layers, batch, self.embed_dim),
+                                   dtype),
+            }
         ctx_pad = -(-self.ctx_len // 8) * 8
         shape = (self.n_layers, batch, ctx_pad, self.embed_dim)
         return {
@@ -436,8 +539,33 @@ class GPT(nn.Module):
             "shift": jnp.zeros((self.n_layers, batch, self.embed_dim), dtype),
         }
 
+    @staticmethod
+    def _quant_rows(rows):
+        """Per-row symmetric int8 for cache rows (..., C) -> (int8, scale)."""
+        r32 = rows.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(r32), axis=-1)
+        sc = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(r32 / sc[..., None]), -127, 127)
+        return q.astype(jnp.int8), sc
+
     def _stack_prefill(self, x, cache):
-        """Run all layers' prefill; returns (x, new cache)."""
+        """Run all layers' prefill; returns (x, new cache).
+
+        With ``kv_int8`` the prefill runs against transient full-precision
+        buffers (one sequence's worth, freed immediately) and the filled
+        rows are quantized into the int8 cache afterwards."""
+        if self.kv_int8:
+            tmp = {"k": jnp.zeros(cache["k"].shape, self.dtype),
+                   "v": jnp.zeros(cache["v"].shape, self.dtype),
+                   "shift": cache["shift"]}
+            x, tmp = self._stack_prefill_fp(x, tmp)
+            k_q, k_sc = self._quant_rows(tmp["k"])
+            v_q, v_sc = self._quant_rows(tmp["v"])
+            return x, {"k": k_q, "v": v_q, "k_scale": k_sc, "v_scale": v_sc,
+                       "shift": tmp["shift"]}
+        return self._stack_prefill_fp(x, cache)
+
+    def _stack_prefill_fp(self, x, cache):
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
         if self.scan_layers:
             x, (k_all, v_all, s_new) = self.blocks_stack.scan_prefill(
@@ -467,17 +595,23 @@ class GPT(nn.Module):
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
         k_view = k_all[:, :, :window] if window else k_all
         v_view = v_all[:, :, :window] if window else v_all
+        ks = cache.get("k_scale")
+        vs = cache.get("v_scale")
+        if ks is not None and window:
+            ks = ks[:, :, :window]
+            vs = vs[:, :, :window]
         if self.scan_layers:
             layer_ix = jnp.arange(self.n_layers, dtype=jnp.int32)
-            (x, _, _, _), (k_news, v_news, s_new) = \
+            (x, *_), (k_news, v_news, s_new) = \
                 self.blocks_stack.scan_decode(
-                    (x, cur_len, k_view, v_view), (s_all, layer_ix))
+                    (x, cur_len, k_view, v_view, ks, vs),
+                    (s_all, layer_ix))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []
             for i, block in enumerate(self.blocks):
                 x, k, v, s = block.decode(x, k_view, v_view, cur_len,
-                                          s_all[i], jnp.int32(i))
+                                          s_all[i], jnp.int32(i), ks, vs)
                 k_cols.append(k)
                 v_cols.append(v)
                 s_cols.append(s)
@@ -488,6 +622,19 @@ class GPT(nn.Module):
         # aliased Pallas kernel — a dynamic_update_slice here lets XLA pick
         # a while-carry layout that clashes with the decode custom call and
         # costs 4 full-cache layout copies per token (ops/cache.py)
+        if ks is not None:
+            # quantize the new rows; the (L, B, ctx) scale arrays update
+            # through plain XLA (MB-scale — see ops/cache.scale_row_update)
+            k_news, ksc = self._quant_rows(k_news)
+            v_news, vsc = self._quant_rows(v_news)
+            out = {"k": cache_row_update(cache["k"], k_news, cur_len),
+                   "v": cache_row_update(cache["v"], v_news, cur_len),
+                   "k_scale": scale_row_update(cache["k_scale"], ksc,
+                                               cur_len),
+                   "v_scale": scale_row_update(cache["v_scale"], vsc,
+                                               cur_len),
+                   "shift": s_all}
+            return x, out
         k_all = cache_row_update(k_all, k_news, cur_len)
         v_all = cache_row_update(v_all, v_news, cur_len)
         return x, {"k": k_all, "v": v_all, "shift": s_all}
@@ -522,15 +669,24 @@ class GPT(nn.Module):
         cur_len = self.cond_num_tokens + step - 1
         x, cache = self._stack_decode(x, cur_len, cache,
                                       None if jnp.ndim(step) else window)
-        if self.is_initializing():
-            logits = self.head(self.layer_norm(x)[:, -1])
-        else:
+        qv = (None if self.is_initializing()
+              else self.head.variables.get("quant"))
+        if qv is not None:
+            # int8 vocab head with the final LN folded in
+            p_ln = self.layer_norm.variables["params"]
+            logits, _ = int8_ln_gemm(x[:, -1], p_ln["scale"],
+                                     p_ln["bias"], None, None,
+                                     qv["kernel_q"], qv["scale"], None,
+                                     eps=1e-5)
+        elif not self.is_initializing() and "head" in _lnfuse_sites():
             # final LN folded into the vocab-head GEMM (one kernel fewer
             # per token; same dispatch-bound argument as Block.decode)
             p_ln = self.layer_norm.variables["params"]
             logits = fused_ln_gemm(
                 x[:, -1], p_ln["scale"], p_ln["bias"],
                 self.head.variables["params"]["kernel"], None, eps=1e-5)
+        else:
+            logits = self.head(self.layer_norm(x)[:, -1])
         return logits, cache
 
 
@@ -556,6 +712,9 @@ class RQTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = True
     remat: bool = False
+    # INT8 spatial KV cache with per-row scales (see GPT.kv_int8; the
+    # depth stack has no cache to quantize)
+    kv_int8: bool = False
     # sequence parallelism for the SPATIAL stack's residual stream (the
     # depth stack's window is tiny, <= 8 tokens — nothing to shard)
     sp_mesh: Optional[jax.sharding.Mesh] = None
@@ -590,7 +749,7 @@ class RQTransformer(nn.Module):
             def scanned(length):
                 return nn.scan(
                     target,
-                    variable_axes={"params": 0, "constants": 0},
+                    variable_axes={"params": 0, "constants": 0, "quant": 0},
                     split_rngs={"params": True}, length=length,
                     methods=["scan_call", "scan_decode", "scan_prefill"])
             self.spatial_stack = scanned(self.spatial_n_layers)(
@@ -655,6 +814,17 @@ class RQTransformer(nn.Module):
     def init_cache(self, batch: int, dtype=None) -> Dict[str, jax.Array]:
         dtype = dtype or self.dtype
         # packed head layout, ctx sublane-padded (see GPT.init_cache)
+        if self.kv_int8:
+            ctx_pad = -(-self.ctx_len // 128) * 128
+            shape_s = (self.spatial_n_layers, batch, ctx_pad, self.embed_dim)
+            return {
+                "k": jnp.zeros(shape_s, jnp.int8),
+                "v": jnp.zeros(shape_s, jnp.int8),
+                "k_scale": jnp.zeros(shape_s[:3], jnp.float32),
+                "v_scale": jnp.zeros(shape_s[:3], jnp.float32),
+                "shift": jnp.zeros(
+                    (self.spatial_n_layers, batch, self.embed_dim), dtype),
+            }
         ctx_pad = -(-self.ctx_len // 8) * 8
         shape_s = (self.spatial_n_layers, batch, ctx_pad, self.embed_dim)
         return {
@@ -668,7 +838,19 @@ class RQTransformer(nn.Module):
         """Condition prefix through the spatial transformer -> first hidden."""
         conds = conds.reshape(conds.shape[0], -1)
         x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
-        k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        if self.kv_int8:
+            tmp_k = jnp.zeros(cache["k"].shape, self.dtype)
+            tmp_v = jnp.zeros(cache["v"].shape, self.dtype)
+            hidden, fp = self._spatial_prefill_fp(
+                x, tmp_k, tmp_v, cache["shift"])
+            k_q, k_sc = GPT._quant_rows(fp["k"])
+            v_q, v_sc = GPT._quant_rows(fp["v"])
+            return hidden, {"k": k_q, "v": v_q, "k_scale": k_sc,
+                            "v_scale": v_sc, "shift": fp["shift"]}
+        return self._spatial_prefill_fp(x, cache["k"], cache["v"],
+                                        cache["shift"])
+
+    def _spatial_prefill_fp(self, x, k_all, v_all, s_all):
         if self.scan_layers:
             x, (k_all, v_all, s_new) = self.spatial_stack.scan_prefill(
                 x, (k_all, v_all))
@@ -696,29 +878,40 @@ class RQTransformer(nn.Module):
             + pos.astype(self.dtype)
         cur_len = self.cond_num_tokens + step - 1
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
+        ks = cache.get("k_scale")
+        vs = cache.get("v_scale")
         # stacked caches ride whole (scan carry / static layer index) — the
         # layer slice happens inside the attention kernel; see
         # GPT._stack_decode for the copy-per-token measurement
         if self.scan_layers:
             layer_ix = jnp.arange(self.spatial_n_layers, dtype=jnp.int32)
-            (x, _, _, _), (k_news, v_news, s_new) = \
+            (x, *_), (k_news, v_news, s_new) = \
                 self.spatial_stack.scan_decode(
-                    (x, cur_len, k_all, v_all), (s_all, layer_ix))
+                    (x, cur_len, k_all, v_all, ks, vs), (s_all, layer_ix))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []
             for i, block in enumerate(self.spatial_transformer):
                 x, k, v, s = block.decode(x, k_all, v_all, cur_len,
-                                          s_all[i], jnp.int32(i))
+                                          s_all[i], jnp.int32(i), ks, vs)
                 k_cols.append(k)
                 v_cols.append(v)
                 s_cols.append(s)
             k_news = jnp.stack(k_cols)
             v_news = jnp.stack(v_cols)
             s_all = jnp.stack(s_cols).astype(s_all.dtype)
+        x = self.ln_spatial(x)
+        if ks is not None:
+            k_news, ksc = GPT._quant_rows(k_news)
+            v_news, vsc = GPT._quant_rows(v_news)
+            return x[:, -1], {
+                "k": cache_row_update(k_all, k_news, cur_len),
+                "v": cache_row_update(v_all, v_news, cur_len),
+                "k_scale": scale_row_update(ks, ksc, cur_len),
+                "v_scale": scale_row_update(vs, vsc, cur_len),
+                "shift": s_all}
         k_all = cache_row_update(k_all, k_news, cur_len)
         v_all = cache_row_update(v_all, v_news, cur_len)
-        x = self.ln_spatial(x)
         return x[:, -1], {"k": k_all, "v": v_all, "shift": s_all}
 
     def depth_forward(self, hidden: jax.Array, depth_codes: jax.Array,

@@ -1338,9 +1338,10 @@ def _decode_xla(q3, kc, vc, kn, vn, cur_len, head_dim):
     return y.transpose(0, 2, 1, 3).reshape(b, hd).astype(q3.dtype)
 
 
-def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
-                   m_acc, l_acc, o_acc, *, block_k: int, head_dim: int,
-                   n_heads: int, block_b: int, nb: int):
+def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, *rest,
+                   block_k: int, head_dim: int,
+                   n_heads: int, block_b: int, nb: int,
+                   quantized: bool = False):
     """Grid (B/block_b, chunks): each program owns a (block_b, block_k, H*D)
     cache tile. Heads are handled in ONE matmul per row per chunk by scoring
     with a block-diagonal masked-q matrix: row h of (H, HD) keeps only head
@@ -1359,7 +1360,17 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
     serving; a scalar cur_len is broadcast by the wrapper). Prefetch layout
     ``sc = [layer] ++ per-block max(nb entries) ++ per-row cur (padded)``:
     the index map bounds each block's chunk DMAs by its rows' max; rows
-    whose own cur is shorter gate the dead chunks out with pl.when."""
+    whose own cur is shorter gate the dead chunks out with pl.when.
+
+    ``quantized``: k/v cache chunks are INT8 with per-row scales riding as
+    two extra (1, block_b, block_k) f32 operands — score columns rescale by
+    k's row scale and the probability columns by v's before the PV matmul
+    (exact in the scale factorization). Halves the cache-read HBM traffic,
+    which dominates decode at large batch (README decode table)."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_acc, l_acc, o_acc = rest
+    else:
+        o_ref, m_acc, l_acc, o_acc = rest
     ib = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -1384,15 +1395,19 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
         def _chunk(qm=qm, sl=sl, i=i, cur_len=cur_len):
             k = k_ref[0, i]                       # (block_k, HD)
             v = v_ref[0, i]
+            # compute dtype: int8 cache chunks cast UP to the query's dtype
+            cd = q_ref.dtype if quantized else k.dtype
             # Mosaic's default-precision f32 dot runs single-pass bf16 on
             # the MXU (~1e-2 rel. error); force exact passes for f32
             # inputs. The production bf16 cache path is unaffected.
-            prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
+            prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
                     else None)
-            s = jax.lax.dot_general(qm.astype(k.dtype), k,
+            s = jax.lax.dot_general(qm.astype(cd), k.astype(cd),
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
                                     precision=prec)
+            if quantized:
+                s = s * ks_ref[0, i].reshape(1, -1)   # per-key row scale
             pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
                 + j * block_k
             s = jnp.where(pos < cur_len, s, NEG_INF)  # (H, block_k)
@@ -1403,7 +1418,9 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
             m_acc[sl] = m_new
             l_acc[sl] = l_acc[sl] * alpha \
                 + jnp.sum(e, axis=-1, keepdims=True)
-            contrib = jax.lax.dot_general(e.astype(v.dtype), v,
+            if quantized:
+                e = e * vs_ref[0, i].reshape(1, -1)   # per-value row scale
+            contrib = jax.lax.dot_general(e.astype(cd), v.astype(cd),
                                           (((1,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32,
                                           precision=prec)
@@ -1423,45 +1440,64 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
             o_ref[i] = out.astype(o_ref.dtype)
 
 
-def _decode_blocks(b: int, m: int, hd: int, block_k: int) -> tuple[int, int]:
+def _decode_blocks(b: int, m: int, hd: int, block_k: int,
+                   itemsize: int = 2, sublane8: bool = False
+                   ) -> tuple[int, int]:
     """(block_b, block_k) minimizing grid steps: the most batch rows per
     program whose k+v tiles (double-buffered) stay ~8MB of VMEM — a smaller
     key chunk is worth it when it buys more rows per program (256KB-scale
     DMAs already run at full stride efficiency; grid-step count is the
     overhead that dominated the per-row kernel). Prefers divisors of b so
-    no program carries padded rows."""
+    no program carries padded rows.
+
+    ``sublane8``: restrict block_b to multiples of 8 (or b itself) — the
+    quantized path's (1, block_b, block_k) f32 scale blocks put block_b on
+    the sublane axis, where Mosaic requires 8-multiples or the full dim."""
     budget = 8 * 1024 * 1024
-    best = (1, min(block_k, m))
     best_steps = None
+    best = None
     for bk in (block_k, 128):
         bk = min(bk, m)
-        per_row = 2 * 2 * bk * hd * 2           # k+v, double-buffered, bf16
+        per_row = 2 * 2 * bk * hd * itemsize    # k+v, double-buffered
         cap = max(1, budget // max(per_row, 1))
-        bb = 1
+        bb = None
         for cand in range(1, min(b, cap) + 1):
-            if b % cand == 0:
+            if b % cand == 0 and (not sublane8 or cand % 8 == 0
+                                  or cand == b):
                 bb = cand
+        if bb is None:
+            continue
         steps = cdiv(b, bb) * cdiv(m, bk)
         if best_steps is None or steps < best_steps:
             best, best_steps = (bb, bk), steps
+    if best is None:
+        # no budget-respecting block found (deep hd, sublane8 small-b):
+        # whole-batch rows with the small chunk still fit v5e's 128MB VMEM
+        best = (b, min(128, m))
     return best
 
 
 def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
-                   layer=None):
+                   layer=None, ks=None, vs=None):
     """kc/vc: (B, M, HD), or a stacked (L, B, M, HD) cache with ``layer``
     (traced int32) selecting the live layer INSIDE the BlockSpec index map —
     the kernel DMAs only that layer's chunks, so callers never slice the
     stack (a host-level slice materializes a full (B, M, HD) copy per layer
     per decoded token; measured 4.3k tok/s -> the scan-layers decode was
-    spending ~85% of its time on those copies)."""
+    spending ~85% of its time on those copies).
+
+    ``ks``/``vs``: per-row dequant scales (L, B, M) f32 for an INT8 cache
+    (both or neither)."""
     if kc.ndim == 3:
         kc = kc[None]
         vc = vc[None]
         layer = jnp.int32(0)
+    quantized = ks is not None
     lnum, b, m, hd = kc.shape
     n_heads = hd // head_dim
-    block_b, block_k = _decode_blocks(b, m, hd, block_k)
+    block_b, block_k = _decode_blocks(b, m, hd, block_k,
+                                      itemsize=kc.dtype.itemsize,
+                                      sublane8=quantized)
     nj = cdiv(m, block_k)
     nb = cdiv(b, block_b)
     # prefetch layout: [layer] ++ per-block chunk bound ++ per-row cur
@@ -1481,21 +1517,35 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
         last_valid = jnp.maximum(sc_ref[1 + i] - 1, 0) // block_k
         return (sc_ref[0], i, jnp.minimum(j, last_valid), 0)
 
+    def scale_index(i, j, sc_ref):
+        last_valid = jnp.maximum(sc_ref[1 + i] - 1, 0) // block_k
+        return (sc_ref[0], i, jnp.minimum(j, last_valid))
+
+    in_specs = [
+        pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_b, block_k, hd), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_b, block_k, hd), kv_index,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [sc, q3[:, None, :], kn[:, None, :], vn[:, None, :], kc, vc]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, block_b, block_k), scale_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, block_k), scale_index,
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cdiv(b, block_b), nj),
-        in_specs=[
-            pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_b, block_k, hd), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_b, block_k, hd), kv_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, 1, hd),
                                lambda i, j, sc_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -1507,12 +1557,20 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel, block_k=block_k, head_dim=head_dim,
-                          n_heads=n_heads, block_b=block_b, nb=nb),
+                          n_heads=n_heads, block_b=block_b, nb=nb,
+                          quantized=quantized),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q3.dtype),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
-    )(sc, q3[:, None, :], kn[:, None, :], vn[:, None, :], kc, vc)
+    )(*args)
     return out[:, 0, :]
+
+
+def _dequant_cache(kc, vc, ks, vs, dtype):
+    """XLA-twin dequant of an int8 cache with per-row scales."""
+    k = kc.astype(jnp.float32) * ks[..., None].astype(jnp.float32)
+    v = vc.astype(jnp.float32) * vs[..., None].astype(jnp.float32)
+    return k.astype(dtype), v.astype(dtype)
 
 
 def _decode_supported(hd: int, head_dim: int, m: int) -> bool:
@@ -1561,6 +1619,37 @@ def _decode_stack_ragged_impl(q3, kc, vc, kn, vn, layer, cur_b, head_dim):
     return _decode_xla(q3, k, v, kn, vn, cur_b, head_dim)
 
 
+def _decode_stack_q_impl(q3, kc, vc, ks, vs, kn, vn, sc, head_dim):
+    """Stacked INT8 cache with per-row scales; sc = [cur_len, layer]."""
+    m, hd = kc.shape[2], kc.shape[3]
+    if _decode_supported(hd, head_dim, m) and m % 128 == 0:
+        return _decode_pallas(q3, kc, vc, kn, vn, sc[0], head_dim,
+                              layer=sc[1], ks=ks, vs=vs)
+    k = jax.lax.dynamic_index_in_dim(kc, sc[1], 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(vc, sc[1], 0, keepdims=False)
+    k, v = _dequant_cache(
+        k, v, jax.lax.dynamic_index_in_dim(ks, sc[1], 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(vs, sc[1], 0, keepdims=False),
+        q3.dtype)
+    return _decode_xla(q3, k, v, kn, vn, sc[0], head_dim)
+
+
+def _decode_stack_q_ragged_impl(q3, kc, vc, ks, vs, kn, vn, layer, cur_b,
+                                head_dim):
+    m, hd = kc.shape[2], kc.shape[3]
+    if _decode_supported(hd, head_dim, m) and m % 128 == 0:
+        return _decode_pallas(q3, kc, vc, kn, vn, cur_b, head_dim,
+                              layer=layer[0], ks=ks, vs=vs)
+    k = jax.lax.dynamic_index_in_dim(kc, layer[0], 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(vc, layer[0], 0, keepdims=False)
+    k, v = _dequant_cache(
+        k, v,
+        jax.lax.dynamic_index_in_dim(ks, layer[0], 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(vs, layer[0], 0, keepdims=False),
+        q3.dtype)
+    return _decode_xla(q3, k, v, kn, vn, cur_b, head_dim)
+
+
 # batch and whole-head chunks of hd shard freely (tp decode); the cache
 # length axis m must be local in full for the online softmax.
 _decode_part = partitioned(
@@ -1581,6 +1670,18 @@ _decode_stack_ragged_part = partitioned(
     _decode_stack_ragged_impl,
     "b hd, l b m hd, l b m hd, b hd, b hd, u, b -> b hd",
     need_replication=("l", "m", "u"), static_argnums=(7,))
+
+# int8-cache variants: the per-row scale stacks shard with batch like the
+# caches themselves
+_decode_stack_q_part = partitioned(
+    _decode_stack_q_impl,
+    "b hd, l b m hd, l b m hd, l b m, l b m, b hd, b hd, u -> b hd",
+    need_replication=("l", "m", "u"), static_argnums=(8,))
+
+_decode_stack_q_ragged_part = partitioned(
+    _decode_stack_q_ragged_impl,
+    "b hd, l b m hd, l b m hd, l b m, l b m, b hd, b hd, u, b -> b hd",
+    need_replication=("l", "m", "u"), static_argnums=(9,))
 
 
 def decode_attention(q3: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
@@ -1619,6 +1720,8 @@ def decode_attention_stacked(q3: jax.Array, k_stack: jax.Array,
                              v_stack: jax.Array, k_new: jax.Array,
                              v_new: jax.Array, cur_len: jax.Array,
                              layer: jax.Array, *, head_dim: int,
+                             k_scale: jax.Array | None = None,
+                             v_scale: jax.Array | None = None,
                              impl: str | None = "auto") -> jax.Array:
     """``decode_attention`` against one layer of a stacked (L, B, ctx, H*D)
     cache, WITHOUT the caller slicing the stack.
@@ -1630,9 +1733,25 @@ def decode_attention_stacked(q3: jax.Array, k_stack: jax.Array,
     a full (B, ctx, H*D) copy of k AND v per layer per decoded token —
     measured ~85% of the 1024d x 16L sampler's step time.
 
-    ``cur_len``: scalar, or a (B,) per-row length vector (ragged batch)."""
+    ``cur_len``: scalar, or a (B,) per-row length vector (ragged batch).
+
+    ``k_scale``/``v_scale``: (L, B, ctx) f32 per-row scales when the cache
+    stacks are INT8 (halves decode cache-read traffic; the kernel rescales
+    score and probability columns in VMEM — exact factorization). The new
+    token's k_new/v_new stay full precision."""
     lnum, b, m, hd = k_stack.shape
+    quantized = k_scale is not None
     if use_pallas(impl) and _decode_supported(hd, head_dim, m):
+        if quantized:
+            if jnp.ndim(cur_len):
+                return _decode_stack_q_ragged_part(
+                    q3, k_stack, v_stack, k_scale, v_scale, k_new, v_new,
+                    jnp.asarray(layer, jnp.int32).reshape(1),
+                    jnp.asarray(cur_len, jnp.int32), head_dim)
+            sc = jnp.stack([jnp.asarray(cur_len, jnp.int32).reshape(()),
+                            jnp.asarray(layer, jnp.int32).reshape(())])
+            return _decode_stack_q_part(q3, k_stack, v_stack, k_scale,
+                                        v_scale, k_new, v_new, sc, head_dim)
         if jnp.ndim(cur_len):
             return _decode_stack_ragged_part(
                 q3, k_stack, v_stack, k_new, v_new,
@@ -1644,6 +1763,12 @@ def decode_attention_stacked(q3: jax.Array, k_stack: jax.Array,
                                   head_dim)
     k = jax.lax.dynamic_index_in_dim(k_stack, layer, 0, keepdims=False)
     v = jax.lax.dynamic_index_in_dim(v_stack, layer, 0, keepdims=False)
+    if quantized:
+        k, v = _dequant_cache(
+            k, v,
+            jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False),
+            q3.dtype)
     return _decode_xla(q3, k, v, k_new, v_new, cur_len, head_dim)
 
 

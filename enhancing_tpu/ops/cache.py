@@ -27,28 +27,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode, use_pallas
 
-ROWS = 8  # sublane-aligned tile height
+ROWS = 8  # sublane-aligned tile height (bf16/f32; int8 tiles are 32 rows)
 
 
-def _row_write_kernel(cur_ref, news_ref, cache_ref, out_ref):
+def _tile_rows(dtype) -> int:
+    """Sublane-aligned tile height: int8 arrays tile (32, 128) on TPU."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else ROWS
+
+
+def _row_write_kernel(cur_ref, news_ref, cache_ref, out_ref, *, rows: int):
     cur = cur_ref[pl.program_id(1)]              # this batch row's position
-    row_in_tile = cur % ROWS
-    tile = cache_ref[0, 0]                       # (ROWS, C)
+    row_in_tile = cur % rows
+    tile = cache_ref[0, 0]                       # (rows, C)
     new = news_ref[0, 0]                         # (1, C)
-    rows = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
-    out_ref[0, 0] = jnp.where(rows == row_in_tile,
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+    out_ref[0, 0] = jnp.where(row_ix == row_in_tile,
                               jnp.broadcast_to(new, tile.shape), tile)
 
 
 def _cache_row_update_pallas(cache: jax.Array, news: jax.Array,
                              cur_len: jax.Array) -> jax.Array:
     l, b, ctx, c = cache.shape
+    rows = _tile_rows(cache.dtype)
     # per-row positions (a scalar broadcasts — the lockstep sampler)
     cur = jnp.broadcast_to(
         jnp.asarray(cur_len, jnp.int32).reshape(-1), (b,))
 
     def tile_index(i, j, cur_ref):
-        return (i, j, cur_ref[j] // ROWS, 0)
+        return (i, j, cur_ref[j] // rows, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -56,14 +62,14 @@ def _cache_row_update_pallas(cache: jax.Array, news: jax.Array,
         in_specs=[
             pl.BlockSpec((1, 1, 1, c), lambda i, j, cur_ref: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ROWS, c), tile_index,
+            pl.BlockSpec((1, 1, rows, c), tile_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, ROWS, c), tile_index,
+        out_specs=pl.BlockSpec((1, 1, rows, c), tile_index,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _row_write_kernel,
+        functools.partial(_row_write_kernel, rows=rows),
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         grid_spec=grid_spec,
         # operand indices count the scalar-prefetch arg: 0=cur, 1=news,
@@ -85,7 +91,7 @@ def cache_row_update(cache: jax.Array, news: jax.Array, cur_len: jax.Array,
     Returns the updated cache (the same buffer on TPU — donated via
     input_output_aliases).
     """
-    if (use_pallas(impl) and cache.shape[2] % ROWS == 0
+    if (use_pallas(impl) and cache.shape[2] % _tile_rows(cache.dtype) == 0
             and cache.shape[3] % 128 == 0):
         return _cache_row_update_pallas(cache, news, cur_len)
     if jnp.ndim(cur_len):
@@ -96,3 +102,20 @@ def cache_row_update(cache: jax.Array, news: jax.Array, cur_len: jax.Array,
                          cache)
     return jax.lax.dynamic_update_slice(
         cache, news.astype(cache.dtype), (0, 0, cur_len, 0))
+
+
+def scale_row_update(scales: jax.Array, news: jax.Array,
+                     cur_len: jax.Array) -> jax.Array:
+    """Write one ctx position of the (L, B, ctx) per-row dequant scales
+    (int8 KV cache). Plain XLA on purpose: these arrays are a few MB, so
+    any while-carry layout copies are negligible next to the int8 caches
+    they describe (the layout-pinning argument above applies only to the
+    multi-hundred-MB k/v stacks).
+
+    news: (L, B, 1); cur_len: int32 scalar or (B,) ragged positions."""
+    if jnp.ndim(cur_len):
+        pos = jnp.arange(scales.shape[2])
+        hit = pos[None, :] == jnp.asarray(cur_len, jnp.int32)[:, None]
+        return jnp.where(hit[None], news.astype(scales.dtype), scales)
+    return jax.lax.dynamic_update_slice(
+        scales, news.astype(scales.dtype), (0, 0, cur_len))

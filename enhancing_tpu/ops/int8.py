@@ -315,3 +315,154 @@ def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                                  with_shift, impl)
     return (out.reshape(*batch_shape, w_q.shape[1]),
             xn.reshape(*batch_shape, d))
+
+
+# ---------------------------------------------------------------------------
+# Whole-MLP decode kernel: LN -> (x @ W0)*s0+b0 -> sqrelu -> (@ W1)*s1+b1
+# -> + residual, ONE pallas_call. The decode MLP is two int8 GEMMs whose
+# weights dominate traffic; chunking the HIDDEN axis lets one grid walk
+# stream both weight slabs (double-buffered DMAs) while the (B, hc) hidden
+# tile lives and dies in VMEM. Replaces 3-4 XLA kernels (LN fusion, fc1,
+# p1, residual add) with one launch — the launch-count lever the r4 A/B
+# showed matters more than any single fusion.
+# ---------------------------------------------------------------------------
+
+
+def _int8_mlp_xla(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1, residual,
+                  activation, eps):
+    xn = layernorm_xla(x, gamma, beta, eps)
+    h = jnp.dot(xn, w0_q.astype(xn.dtype),
+                preferred_element_type=jnp.float32)
+    h = h * s0.astype(jnp.float32)
+    if b0 is not None:
+        h = h + b0.astype(jnp.float32)
+    h = _act(h, activation)
+    out = jnp.dot(h.astype(xn.dtype), w1_q.astype(xn.dtype),
+                  preferred_element_type=jnp.float32)
+    out = out * s1.astype(jnp.float32)
+    if b1 is not None:
+        out = out + b1.astype(jnp.float32)
+    return (out + residual.astype(jnp.float32)).astype(x.dtype)
+
+
+def _int8_mlp_pallas(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1, residual,
+                     activation, eps, h_chunk=512):
+    m, d = x.shape
+    h = w0_q.shape[1]
+    h_chunk = min(h_chunk, h)
+    # b1 + residual merge into one f32 operand; the per-output-channel s1
+    # scales the accumulated sum at the flush (linear in the chunk sum)
+    res_eff = residual.astype(jnp.float32)
+    if b1 is not None:
+        res_eff = res_eff + b1.astype(jnp.float32)
+    b0z = jnp.zeros((h,), jnp.float32) if b0 is None else b0
+    grid = (cdiv(h, h_chunk),)
+    return pl.pallas_call(
+        functools.partial(_int8_mlp_flush_kernel, eps=eps,
+                          activation=activation),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h_chunk), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_chunk), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_chunk), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_chunk, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, d), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, d), jnp.float32),
+                        pltpu.VMEM((m, d), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * h,
+            bytes_accessed=2 * d * h + 2 * m * d * x.dtype.itemsize,
+            transcendentals=m * h,
+        ),
+        interpret=interpret_mode(),
+    )(x, gamma.reshape(1, -1), beta.reshape(1, -1), w0_q, s0.reshape(1, -1),
+      b0z.reshape(1, -1), w1_q, s1.reshape(1, -1),
+      res_eff.astype(jnp.float32))
+
+
+def _int8_mlp_flush_kernel(x_ref, g_ref, bt_ref, w0_ref, s0_ref, b0_ref,
+                           w1_ref, s1_ref, res_ref, o_ref, acc, xn_sc, *,
+                           eps: float, activation: str):
+    """Grid over hidden chunks; s1 (per-output-channel) + b1 + residual
+    fold in at the flush (res_ref already carries residual + b1)."""
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _ln():
+        x32 = x_ref[:].astype(jnp.float32)
+        mean = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean, 0.0)
+        xn_sc[...] = ((x32 - mean) * (jax.lax.rsqrt(var + eps)
+                                      * g_ref[0].astype(jnp.float32))
+                      + bt_ref[0].astype(jnp.float32)).astype(xn_sc.dtype)
+        acc[...] = jnp.zeros_like(acc)
+
+    xn = xn_sc[...]
+    hblk = jax.lax.dot_general(xn, w0_ref[:].astype(xn.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    hblk = hblk * s0_ref[0].astype(jnp.float32) \
+        + b0_ref[0].astype(jnp.float32)
+    hblk = _act(hblk, activation)
+    acc[...] += jax.lax.dot_general(hblk.astype(xn.dtype),
+                                    w1_ref[:].astype(xn.dtype),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        o_ref[:] = (acc[...] * s1_ref[0].astype(jnp.float32)
+                    + res_ref[:]).astype(o_ref.dtype)
+
+
+def _int8_mlp_impl(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1, residual,
+                   activation, eps, impl):
+    m, d = x.shape
+    h = w0_q.shape[1]
+    if use_pallas(impl) and _int8_supported(m, d, h, x.dtype) \
+            and d % 128 == 0 and h % 512 == 0 and m * d * 6 < 4 * 1024 * 1024:
+        return _int8_mlp_pallas(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1,
+                                residual, activation, eps)
+    return _int8_mlp_xla(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1,
+                         residual, activation, eps)
+
+
+# rows shard freely; weights/hidden replicated (decode shapes are tiny —
+# the tp path shards the attention instead)
+_int8_mlp_part = partitioned(
+    _int8_mlp_impl,
+    "m d, d, d, d h, h, h, h d, d, d, m d -> m d",
+    need_replication=("d", "h"), static_argnums=(10, 11, 12))
+
+
+def int8_mlp_decode(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                    w0_q: jax.Array, s0: jax.Array, b0: jax.Array | None,
+                    w1_q: jax.Array, s1: jax.Array, b1: jax.Array | None,
+                    residual: jax.Array, *, activation: str = "sqrelu",
+                    eps: float = 1e-5, impl: str | None = "auto"
+                    ) -> jax.Array:
+    """residual + ((act((LN(x) @ w0_q)*s0 + b0)) @ w1_q)*s1 + b1 — the whole
+    pre-norm MLP as ONE kernel over int8 weights (see module comment)."""
+    batch_shape = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    h = w0_q.shape[1]
+    b0z = jnp.zeros((h,), jnp.float32) if b0 is None else b0
+    b1z = jnp.zeros((d,), jnp.float32) if b1 is None else b1
+    out = _int8_mlp_part(x2, gamma, beta, w0_q, s0, b0z, w1_q, s1, b1z,
+                         residual.reshape(-1, d), activation, eps, impl)
+    return out.reshape(*batch_shape, d)

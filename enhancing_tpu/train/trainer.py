@@ -205,6 +205,7 @@ class Trainer:
                 temp = jnp.float32(self._gumbel_temp(model))
                 do_r1 = bool(do_r1_every) and batch_idx % do_r1_every == 0
                 state, log = train_step(state, x, step_rng, temp, do_r1=do_r1)
+                self.last_log = log
                 # host-side counter: int(state.step) would force a device
                 # sync every step and stall the dispatch pipeline
                 self.global_step += 1
@@ -256,6 +257,7 @@ class Trainer:
             for batch_idx, batch in enumerate(data.train_dataloader()):
                 images, conds = self._stage2_batch(model, batch)
                 state, log = train_step(state, images, conds)
+                self.last_log = log
                 self.global_step += 1
                 self._maybe_log(log, epoch)
                 model.params = state.params

@@ -29,10 +29,20 @@ class ConfigDict(dict):
         self[name] = value
 
     def __getitem__(self, key: str) -> Any:
-        return _wrap(dict.__getitem__(self, key))
+        # Wrap IN PLACE: returning a fresh wrapper around a nested plain
+        # dict hands the caller a shallow COPY, silently dropping mutations
+        # like ``config.model["params"]["dtype"] = ...`` (main.py's -a flag
+        # did exactly that and the dtype never reached the model).
+        value = dict.__getitem__(self, key)
+        wrapped = _wrap(value)
+        if wrapped is not value and isinstance(value, (Mapping, list)):
+            dict.__setitem__(self, key, wrapped)
+        return wrapped
 
     def get(self, key: str, default: Any = None) -> Any:
-        return _wrap(dict.get(self, key, default))
+        if key in self:
+            return self[key]
+        return _wrap(default)
 
     def to_dict(self) -> dict:
         return _unwrap(self)

@@ -36,10 +36,10 @@ def count_scan_kernels(m, vs, conds):
 
     from enhancing_tpu.models.stage2.sampling import sample_gpt
 
-    lowered = jax.jit(
-        lambda v, c, r: sample_gpt(m, v, c, r, top_k=100),
-    ).lower(vs, conds, jax.random.PRNGKey(0))
     try:
+        lowered = jax.jit(
+            lambda v, c, r: sample_gpt(m, v, c, r, top_k=100),
+        ).lower(vs, conds, jax.random.PRNGKey(0))
         txt = lowered.compile().as_text()
     except Exception as e:  # relay backends may not return optimized HLO
         print(f"[kernels] optimized HLO unavailable: {type(e).__name__}")
@@ -72,7 +72,18 @@ def main():
     ap.add_argument("--dim", type=int, default=1024)
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--kernels-only", action="store_true")
+    ap.add_argument("--lnfuse", default=None,
+                    help="sets ENHANCING_TPU_DECODE_LNFUSE (all|none|"
+                         "qkv,mlp,head subsets) before tracing")
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8 decode "
+                         "(models/stage2/quantize.py)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache with per-row scales (GPT.kv_int8)")
     args = ap.parse_args()
+    if args.lnfuse is not None:
+        import os
+        os.environ["ENHANCING_TPU_DECODE_LNFUSE"] = args.lnfuse
 
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
@@ -87,7 +98,8 @@ def main():
     T = 1024
     m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=args.dim,
             cond_num_tokens=1, img_num_tokens=T, n_heads=args.heads,
-            n_layers=args.layers, dtype=jnp.bfloat16)
+            n_layers=args.layers, dtype=jnp.bfloat16,
+            kv_int8=args.kv_int8)
 
     @jax.jit
     def init_bf16(key, conds):
@@ -99,6 +111,20 @@ def main():
     conds0 = jnp.zeros((args.batches[0], 1), jnp.int32)
     vs = init_bf16(jax.random.PRNGKey(0), conds0)
     n_params = sum(p.size for p in jax.tree.leaves(vs["params"]))
+    w_bytes = n_params * 2
+    if args.int8:
+        from enhancing_tpu.models.stage2.quantize import quantize_decode_params
+        vs = jax.jit(quantize_decode_params)(vs)
+        qb = sum(p.size * p.dtype.itemsize
+                 for p in jax.tree.leaves(vs["quant"]))
+        print(f"[int8] quantized kernels: {qb / 1e9:.2f} GB "
+              f"(bf16 params {w_bytes / 1e9:.2f} GB)")
+        # per-step traffic: int8 kernels replace their bf16 copies
+        k_bytes = sum(
+            p.size * 2 for path, p in
+            jax.tree_util.tree_flatten_with_path(vs["params"])[0]
+            if path[-1].key == "kernel")
+        w_bytes = w_bytes - k_bytes + qb
 
     nk = count_scan_kernels(m, vs, conds0)
     if nk is not None:
@@ -125,13 +151,18 @@ def main():
         dt = statistics.median(times)
         tok_s = b * T / dt
         # per token step: all params once + the live half of each row's KV
-        cache_bytes = args.layers * b * 1032 * args.dim * 2 * 2
-        traffic = T * (n_params * 2 + cache_bytes / 2)
+        kv_item = 1 if args.kv_int8 else 2
+        cache_bytes = args.layers * b * 1032 * args.dim * 2 * kv_item
+        traffic = T * (w_bytes + cache_bytes / 2)
         gbs = traffic / dt / 1e9
-        print(f"[decode b{b}] {dt * 1e3:.0f} ms / {T} tok -> {tok_s:.0f} "
+        tag = ("int8w " if args.int8 else "") + \
+            ("int8kv " if args.kv_int8 else "")
+        print(f"[decode {tag}b{b}] {dt * 1e3:.0f} ms / {T} tok -> {tok_s:.0f} "
               f"tok/s; ~{gbs:.0f} GB/s of ~819 GB/s HBM roofline")
         record("gpt_decode_throughput", tok_s, "tok/s", batch=b,
-               dim=args.dim, layers=args.layers, gbs=round(gbs, 1))
+               dim=args.dim, layers=args.layers, gbs=round(gbs, 1),
+               int8=bool(args.int8), kv_int8=bool(args.kv_int8),
+               lnfuse=args.lnfuse or "default")
 
 
 if __name__ == "__main__":

@@ -72,3 +72,24 @@ def test_reference_config_schema_loads():
     cfg = load_config("configs/imagenet_vitvq_small.yaml")
     assert cfg.model.params.encoder.dim == 512
     assert cfg.model.params.quantizer.n_embed == 8192
+
+
+def test_nested_mutation_sticks():
+    """Regression: ConfigDict.__getitem__ used to wrap nested plain dicts
+    into shallow copies, so main.py's `-a` mutation
+    (config.model["params"]["dtype"] = "bfloat16") never reached the
+    model. Nested writes must survive re-access."""
+    from enhancing_tpu.utils.config import ConfigDict
+
+    c = ConfigDict({"model": {"params": {"encoder": {"dim": 64}}}})
+    c.model["params"]["dtype"] = "bfloat16"
+    assert c.model["params"].get("dtype") == "bfloat16"
+    assert c["model"]["params"]["dtype"] == "bfloat16"
+    c.model["params"].setdefault("loss", {}).setdefault(
+        "params", {})["disc_params"] = {"dtype": "bfloat16"}
+    assert c.model["params"]["loss"]["params"]["disc_params"]["dtype"] \
+        == "bfloat16"
+    # to_dict unwraps the in-place wrappers back to plain dicts
+    d = c.to_dict()
+    assert type(d["model"]["params"]) is dict
+    assert d["model"]["params"]["dtype"] == "bfloat16"

@@ -667,3 +667,159 @@ def test_cache_row_update_ragged(rng):
     # XLA twin (ragged) matches too
     got_x = cache_row_update(cache, news, curs, impl="xla")
     np.testing.assert_allclose(np.asarray(got_x), want, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# int8 weights-only GEMMs (ops/int8.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_channelwise_roundtrip(rng):
+    from enhancing_tpu.ops import int8 as q8
+    w = jnp.asarray(rng.standard_normal((256, 384)) * 0.05, jnp.float32)
+    w_q, scale = q8.quantize_channelwise(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (384,)
+    deq = np.asarray(w_q, np.float32) * np.asarray(scale)[None, :]
+    err = np.abs(deq - np.asarray(w))
+    # symmetric per-channel: error bounded by half an LSB of each channel
+    assert (err <= np.asarray(scale)[None, :] * 0.5 + 1e-8).all()
+
+    # stacked (L, d, n) kernels quantize per layer
+    ws = jnp.stack([w, 3 * w])
+    wq2, sc2 = q8.quantize_channelwise(ws)
+    assert sc2.shape == (2, 384)
+    np.testing.assert_allclose(np.asarray(sc2[1]), 3 * np.asarray(sc2[0]),
+                               rtol=1e-6)
+
+
+def test_int8_gemm_pallas_matches_xla(rng):
+    from enhancing_tpu.ops import int8 as q8
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 384)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(384), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((8, 384)), jnp.float32)
+    w_q, scale = q8.quantize_channelwise(w)
+    for act in (None, "sqrelu"):
+        for r in (None, res):
+            ref = q8._int8_gemm_xla(x, w_q, scale, b, r, act)
+            out = q8._int8_gemm_pallas(x, w_q, scale, b, r, act)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5)
+
+
+def test_int8_ln_gemm_pallas_matches_xla(rng):
+    from enhancing_tpu.ops import int8 as q8
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    prev = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    tm = jnp.asarray(rng.random(256), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 384)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(384), jnp.float32)
+    w_q, scale = q8.quantize_channelwise(w)
+    ref_o, ref_xn = q8._int8_ln_gemm_xla(x, g, bt, tm, prev, w_q, scale, b,
+                                         None, 1e-5)
+    out, xn = q8._int8_ln_gemm_pallas(x, g, bt, tm, prev, w_q, scale, b,
+                                      None, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(ref_xn), atol=2e-5)
+    # no-shift variant
+    ref_o2, _ = q8._int8_ln_gemm_xla(x, g, bt, None, prev, w_q, scale, b,
+                                     "sqrelu", 1e-5)
+    out2, _ = q8._int8_ln_gemm_pallas(x, g, bt, tm, prev, w_q, scale, b,
+                                      "sqrelu", 1e-5, False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref_o2),
+                               atol=2e-5)
+
+
+def test_fused_ln_shift_gemm_pallas_matches_xla(rng):
+    from enhancing_tpu.ops import ln_gemm as lg
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    prev = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    tm = jnp.asarray(rng.random(256), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 384)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(384), jnp.float32)
+    ref_o, ref_xn = lg._ln_shift_gemm_xla(x, g, bt, tm, prev, w, b, None,
+                                          1e-5)
+    out, xn = lg._ln_shift_gemm_pallas(x, g, bt, tm, prev, w, b, None, 1e-5,
+                                       True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(ref_xn), atol=2e-5)
+    # gradient flows through the custom_vjp (twin-derived backward)
+    f = lambda x_: lg.fused_ln_shift_gemm(x_, g, bt, tm, prev, w, b)[0].sum()
+    gx = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_decode_attention_stacked_int8_cache(rng):
+    """Quantized stacked decode kernel == dequantize-then-XLA twin, scalar
+    and ragged cur_len."""
+    L, b, m, hd, head_dim = 3, 8, 256, 256, 64
+    kq = jnp.asarray(rng.integers(-127, 128, (L, b, m, hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (L, b, m, hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, b, m)) * 0.05 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.random((L, b, m)) * 0.05 + 1e-3, jnp.float32)
+    q3 = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    for layer in (0, 2):
+        for cur in (jnp.int32(37),
+                    jnp.asarray(rng.integers(1, m, (b,)), jnp.int32)):
+            out = att._decode_pallas(q3, kq, vq, kn, vn, cur, head_dim,
+                                     layer=jnp.int32(layer), ks=ks, vs=vs)
+            k_deq, v_deq = att._dequant_cache(kq[layer], vq[layer],
+                                              ks[layer], vs[layer],
+                                              jnp.float32)
+            ref = att._decode_xla(q3, k_deq, v_deq, kn, vn, cur, head_dim)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4)
+
+
+def test_scale_row_update(rng):
+    from enhancing_tpu.ops.cache import scale_row_update
+    L, b, ctx = 2, 4, 64
+    scales = jnp.asarray(rng.random((L, b, ctx)), jnp.float32)
+    news = jnp.asarray(rng.random((L, b, 1)), jnp.float32)
+    out = scale_row_update(scales, news, jnp.int32(7))
+    ref = scales.at[:, :, 7:8].set(news)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # ragged
+    cur = jnp.asarray([1, 5, 0, 63], jnp.int32)
+    out2 = scale_row_update(scales, news, cur)
+    ref2 = np.asarray(scales).copy()
+    for i, c in enumerate([1, 5, 0, 63]):
+        ref2[:, i, c] = np.asarray(news)[:, i, 0]
+    np.testing.assert_array_equal(np.asarray(out2), ref2)
+
+
+def test_cache_row_update_int8(rng):
+    from enhancing_tpu.ops.cache import cache_row_update
+    L, b, ctx, c = 2, 3, 64, 128
+    cache = jnp.asarray(rng.integers(-127, 128, (L, b, ctx, c)), jnp.int8)
+    news = jnp.asarray(rng.integers(-127, 128, (L, b, 1, c)), jnp.int8)
+    out = cache_row_update(cache, news, jnp.int32(33))
+    ref = jax.lax.dynamic_update_slice(cache, news, (0, 0, 33, 0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_mlp_decode_matches_xla(rng):
+    from enhancing_tpu.ops import int8 as q8
+    m, d, h = 8, 256, 1024
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    w0 = jnp.asarray(rng.standard_normal((d, h)) * 0.05, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((h, d)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    w0q, s0 = q8.quantize_channelwise(w0)
+    w1q, s1 = q8.quantize_channelwise(w1)
+    ref = q8._int8_mlp_xla(x, g, bt, w0q, s0, b0, w1q, s1, b1, res,
+                           "sqrelu", 1e-5)
+    out = q8._int8_mlp_pallas(x, g, bt, w0q, s0, b0, w1q, s1, b1, res,
+                              "sqrelu", 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4,
+                               rtol=3e-4)

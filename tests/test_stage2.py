@@ -275,3 +275,93 @@ def test_continuous_batcher_multistep_dispatch(gpt):
         done.update(dict(b.step(5)))
     np.testing.assert_array_equal(done[rid0], want[0])
     np.testing.assert_array_equal(done[rid1], want[1])
+
+
+def test_quantized_decode_sampling():
+    """Weights-only int8 decode (models/stage2/quantize.py): deterministic,
+    shape-correct, and greedy codes mostly agree with full precision (the
+    kernels are exact in the scale factorization; disagreements come only
+    from near-tied logits of the random-weight model)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.models.stage2 import (GPT, RQTransformer, sample_gpt,
+                                             sample_rq,
+                                             quantize_decode_params)
+
+    m = GPT(vocab_cond_size=10, vocab_img_size=256, embed_dim=128,
+            cond_num_tokens=1, img_num_tokens=16, n_heads=4, n_layers=2)
+    conds = jnp.zeros((4, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((4, 16), jnp.int32), conds)
+    qvs = quantize_decode_params(vs)
+    # every Dense kernel got an int8 twin
+    q_leaves = jax.tree.leaves(qvs["quant"])
+    assert any(a.dtype == jnp.int8 for a in q_leaves)
+    # scan-stacked blocks: one stacked (L, d, n) int8 kernel per Dense
+    # (query/key/value/proj/p0/p1) + the vocab head
+    assert sum(a.dtype == jnp.int8 for a in q_leaves) == 6 + 1
+
+    _, full = sample_gpt(m, vs, conds, jax.random.PRNGKey(1), top_k=1)
+    _, q1 = sample_gpt(m, qvs, conds, jax.random.PRNGKey(1), top_k=1)
+    _, q2 = sample_gpt(m, qvs, conds, jax.random.PRNGKey(1), top_k=1)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    assert float((q1 == full).mean()) > 0.5, (q1, full)
+
+    rq = RQTransformer(vocab_cond_size=10, vocab_img_size=64, embed_dim=128,
+                       cond_num_tokens=1, img_num_tokens=4,
+                       depth_num_tokens=2, spatial_n_heads=4,
+                       depth_n_heads=4, spatial_n_layers=2, depth_n_layers=2)
+    vs2 = rq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2), jnp.int32),
+                  conds[:1])
+    qvs2 = quantize_decode_params(vs2)
+    _, full_rq = sample_rq(rq, vs2, conds, jax.random.PRNGKey(2), top_k=1)
+    _, q_rq = sample_rq(rq, qvs2, conds, jax.random.PRNGKey(2), top_k=1)
+    assert q_rq.shape == full_rq.shape
+    assert float((q_rq == full_rq).mean()) > 0.5
+
+
+def test_int8_kv_cache_sampling():
+    """kv_int8=True: int8 cache + per-row scales; greedy codes match the
+    bf16-cache sampler exactly on this tiny model (per-row int8 keeps
+    ~2 decimal digits — enough to preserve the argmax everywhere here)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.models.stage2 import GPT, RQTransformer, sample_gpt, \
+        sample_rq
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+
+    kw = dict(vocab_cond_size=10, vocab_img_size=256, embed_dim=128,
+              cond_num_tokens=1, img_num_tokens=16, n_heads=4, n_layers=2)
+    m_bf = GPT(**kw)
+    m_q8 = GPT(**kw, kv_int8=True)
+    conds = jnp.zeros((4, 1), jnp.int32)
+    vs = m_bf.init(jax.random.PRNGKey(0), jnp.zeros((4, 16), jnp.int32),
+                   conds)
+    cache = m_q8.apply(vs, 4, method="init_cache")
+    assert cache["k"].dtype == jnp.int8 and "k_scale" in cache
+    _, full = sample_gpt(m_bf, vs, conds, jax.random.PRNGKey(1), top_k=1)
+    _, q8 = sample_gpt(m_q8, vs, conds, jax.random.PRNGKey(1), top_k=1)
+    assert float((full == q8).mean()) > 0.9, (full, q8)
+
+    rkw = dict(vocab_cond_size=10, vocab_img_size=64, embed_dim=128,
+               cond_num_tokens=1, img_num_tokens=4, depth_num_tokens=2,
+               spatial_n_heads=4, depth_n_heads=4, spatial_n_layers=2,
+               depth_n_layers=2)
+    rq_bf = RQTransformer(**rkw)
+    rq_q8 = RQTransformer(**rkw, kv_int8=True)
+    vs2 = rq_bf.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2), jnp.int32),
+                     conds[:1])
+    _, fr = sample_rq(rq_bf, vs2, conds, jax.random.PRNGKey(2), top_k=1)
+    _, qr = sample_rq(rq_q8, vs2, conds, jax.random.PRNGKey(2), top_k=1)
+    assert float((fr == qr).mean()) > 0.9
+
+    # ragged continuous batching over the int8 pool
+    b = ContinuousGPTBatcher(m_q8, vs, num_slots=2,
+                             rng=jax.random.PRNGKey(3), top_k=4)
+    b.submit(jnp.asarray([1], jnp.int32))
+    b.submit(jnp.asarray([2], jnp.int32))
+    done = b.run_until_done()
+    assert len(done) == 2 and all(c.shape == (16,) for _, c in done)

@@ -340,3 +340,32 @@ def test_stage2_validation_metrics_and_images(tmp_path):
     val_dir = tmp_path / "results" / "val"
     assert val_dir.is_dir() and list(val_dir.glob("*.png"))
     assert any(tag.startswith("val/") for tag, _ in rec.images)
+
+
+def test_bf16_discriminator_training_tracks_f32(tmp_path):
+    """`-a`'s bf16-compute discriminator (disc_params.dtype=bfloat16):
+    4 GAN steps stay finite and the logged losses track the f32-D run
+    within loose bf16 tolerance — same data, same seeds, D compute dtype
+    the only difference."""
+    logs = {}
+    for tag, disc_params in (("f32", {}), ("bf16", {"dtype": "bfloat16"})):
+        model = ViTVQ(
+            image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+            quantizer=Q,
+            loss={"target":
+                  "enhancing_tpu.losses.vqperceptual."
+                  "VQLPIPSWithDiscriminator",
+                  "params": {"image_size": 32, "perceptual_weight": 0.0,
+                             "adversarial_weight": 0.1, "do_r1_every": 2,
+                             "disc_loss": "hinge",
+                             "disc_params": disc_params}})
+        trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000,
+                          max_steps=4, seed=7)
+        trainer.fit(model, build_data())
+        state = trainer.final_state
+        for leaf in jax.tree.leaves(state.disc_params):
+            assert np.isfinite(np.asarray(leaf)).all()
+        logs[tag] = trainer.last_log
+    for key in ("train/total_loss", "train/disc_loss"):
+        a, b = float(logs["f32"][key]), float(logs["bf16"][key])
+        assert abs(a - b) < 0.15 * max(1.0, abs(a)), (key, a, b)
