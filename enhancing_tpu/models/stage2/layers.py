@@ -221,12 +221,31 @@ class MultiHeadSelfAttention(nn.Module):
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Multi-token prefix forward filling cache positions [0, T)."""
+        """Multi-token prefix forward filling cache positions [0, T).
+
+        With a "quant" collection the projections run on the int8 kernels
+        (int8 serving then never touches the bf16 kernel copies — they can
+        be dropped entirely, which is what lets the full 24L flagship fit
+        one chip; admission prefill in the continuous batcher gets the
+        same halved weight reads)."""
         b, t, c = x.shape
         x = self._token_shift(x)
-        q = self.query_p(x)
-        k = self.key_p(x)
-        v = self.value_p(x)
+        qv = (None if self.is_initializing()
+              else self.variables.get("quant"))
+        if qv is not None:
+            names = ("query", "key", "value")
+            wq = jnp.concatenate([qv[n]["kernel_q"] for n in names],
+                                 axis=-1)
+            sc = jnp.concatenate([qv[n]["scale"] for n in names], axis=-1)
+            b_qkv = (jnp.concatenate(
+                [self.variables["params"][n]["bias"] for n in names])
+                if self.attn_bias else None)
+            qkv = int8_gemm(x, wq, sc, b_qkv)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = self.query_p(x)
+            k = self.key_p(x)
+            v = self.value_p(x)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k.astype(k_cache.dtype), (0, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(
@@ -236,7 +255,13 @@ class MultiHeadSelfAttention(nn.Module):
         y = multihead_attention_bnhd(
             q.reshape(split), k.reshape(split), v.reshape(split),
             scale=self.head_dim**-0.5, mask_mode=mode, cond_len=self.cond_len)
-        return self.proj(y.reshape(b, t, c)), k_cache, v_cache
+        y = y.reshape(b, t, c)
+        if qv is not None:
+            bp = (self.variables["params"]["proj"]["bias"]
+                  if self.attn_bias else None)
+            return (int8_gemm(y, qv["proj"]["kernel_q"],
+                              qv["proj"]["scale"], bp), k_cache, v_cache)
+        return self.proj(y), k_cache, v_cache
 
 
 class FFN(nn.Module):
@@ -388,7 +413,20 @@ class Block(nn.Module):
         new_shift = h[:, -1, :]
         a, k_cache, v_cache = self.attn.prefill(h, k_cache, v_cache)
         x = x + a
-        x = x + self.mlp(self.ln2(x))
+        qv_mlp = (None if self.is_initializing()
+                  else self.mlp.variables.get("quant"))
+        if qv_mlp is not None:
+            p_ln2 = self.ln2.variables["params"]
+            p_mlp = self.mlp.variables["params"]
+            x = int8_mlp_decode(
+                x, p_ln2["scale"], p_ln2["bias"],
+                qv_mlp["p0"]["kernel_q"], qv_mlp["p0"]["scale"],
+                p_mlp["p0"]["bias"] if self.mlp_bias else None,
+                qv_mlp["p1"]["kernel_q"], qv_mlp["p1"]["scale"],
+                p_mlp["p1"]["bias"] if self.mlp_bias else None,
+                residual=x, activation="sqrelu", eps=1e-5)
+        else:
+            x = x + self.mlp(self.ln2(x))
         return x, k_cache, v_cache, new_shift
 
     # -- scan-over-layers adapters (carry, xs) -> (carry, ys) -----------------
@@ -645,6 +683,14 @@ class GPT(nn.Module):
         conds = conds.reshape(conds.shape[0], -1)
         x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
         x, cache = self._stack_prefill(x, cache)
+        qv = (None if self.is_initializing()
+              else self.head.variables.get("quant"))
+        if qv is not None:
+            p_ln = self.layer_norm.variables["params"]
+            logits, _ = int8_ln_gemm(
+                x[:, self.cond_num_tokens - 1], p_ln["scale"], p_ln["bias"],
+                None, None, qv["kernel_q"], qv["scale"], None, eps=1e-5)
+            return logits, cache
         x = self.layer_norm(x)
         logits = self.head(x[:, self.cond_num_tokens - 1])
         return logits, cache

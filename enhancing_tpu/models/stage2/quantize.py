@@ -50,3 +50,38 @@ def quantize_decode_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     """
     quant = jax.jit(lambda p: _walk(p))(variables["params"])
     return {**variables, "quant": quant}
+
+
+def _drop(params: Dict[str, Any], quant: Dict[str, Any]) -> Dict[str, Any]:
+    import jax.numpy as jnp
+    out: Dict[str, Any] = {}
+    for k, v in params.items():
+        q = quant.get(k) if isinstance(quant, dict) else None
+        if isinstance(v, dict):
+            out[k] = _drop(v, q if isinstance(q, dict) else {})
+        elif (k == "kernel" and isinstance(quant, dict)
+              and "kernel_q" in quant):
+            # keep every leading axis (flax scan splits scanned params on
+            # axis 0 — a 0-d placeholder breaks scan_prefill/scan_decode);
+            # only the (d, n) GEMM dims collapse
+            out[k] = jnp.zeros(v.shape[:-2] + (1, 1), v.dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def drop_quantized_kernels(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Replace every bf16 kernel that has an int8 twin with a placeholder.
+
+    Serving memory mode for **GPT**: after ``quantize_decode_params`` the
+    prefill/decode/head paths only read the int8 copies, so the bf16
+    kernels are dead weight — dropping them is what lets the full 24-layer
+    6144d flagship (~11 GB int8) fit a single 16 GB chip. Placeholders keep
+    their leading (layer-stack) axes so flax ``nn.scan`` still splits them.
+
+    NOT valid for RQTransformer: its depth stack samples by full recompute
+    (``Block.__call__`` + plain Dense head, layers.py depth_forward), which
+    still reads the bf16 kernels.
+    """
+    return {**variables,
+            "params": _drop(variables["params"], variables.get("quant", {}))}

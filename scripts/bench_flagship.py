@@ -167,38 +167,53 @@ def bench_train(n_layers=2):
     return t
 
 
-def bench_decode(n_layers=8, batch=4):
+def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False):
     """Flagship-dim (6144d, D=384) KV-cache decode at the deepest slice whose
-    bf16 params + cache fit one chip; reports tok/s and HBM GB/s."""
+    params + cache fit one chip; reports tok/s and HBM GB/s. ``int8``:
+    weights-only int8 serving (quantize_decode_params) — halves param bytes,
+    so DEEPER slices fit (the full 24L config at ~11 GB int8); ``kv_int8``:
+    int8 KV cache."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from enhancing_tpu.models.stage2.layers import GPT
+    from enhancing_tpu.models.stage2.quantize import (
+        drop_quantized_kernels, quantize_decode_params)
     from enhancing_tpu.models.stage2.sampling import sample_gpt
+    from enhancing_tpu.utils.bench_log import record
 
     m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=6144,
             cond_num_tokens=1, img_num_tokens=1024, n_heads=16,
-            n_layers=n_layers, dtype=jnp.bfloat16)
+            n_layers=n_layers, dtype=jnp.bfloat16, kv_int8=kv_int8)
     conds = jnp.zeros((batch, 1), jnp.int32)
 
-    # serving config: params live in bf16. The cast must be FUSED with init
-    # in one jit — a separate init materializes the full fp32 tree (11+ GB
-    # at 6L) before the cast and OOMs 16 GB HBM
+    # serving config: params live in bf16 (int8 kernels beside them when
+    # quantized). The cast/quant must be FUSED with init in one jit — a
+    # separate init materializes the full fp32 tree (11+ GB at 6L) before
+    # the cast and OOMs 16 GB HBM
     @jax.jit
-    def init_bf16(key):
+    def init_serving(key):
         vs = m.init(key, jnp.zeros((batch, 1024), jnp.int32), conds)
-        return jax.tree.map(
+        vs = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             vs)
+        if int8:
+            # drop the bf16 copies of quantized kernels — the GPT decode
+            # never reads them, and at 24L they alone exceed HBM
+            vs = drop_quantized_kernels(quantize_decode_params(vs))
+        return vs
 
-    vs = init_bf16(jax.random.PRNGKey(0))
+    vs = init_serving(jax.random.PRNGKey(0))
     n_params = sum(p.size for p in jax.tree.leaves(vs["params"]))
+    w_bytes = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(
+        {k: v for k, v in vs.items() if k in ("params", "quant")}))
 
+    tag = f"{'int8w ' if int8 else ''}{'int8kv ' if kv_int8 else ''}"
     t0 = time.perf_counter()
     _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
     _ = np.asarray(out)
-    print(f"[gpt-6144d decode {n_layers}L] compile+first "
-          f"{time.perf_counter()-t0:.0f}s, {n_params/1e9:.2f}B params")
+    print(f"[gpt-6144d decode {tag}{n_layers}L] compile+first "
+          f"{time.perf_counter()-t0:.0f}s, weights {w_bytes/1e9:.1f} GB")
 
     times = []
     for i in range(3):
@@ -209,12 +224,16 @@ def bench_decode(n_layers=8, batch=4):
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
     tok_s = batch * 1024 / dt
-    # per decoded token: all params read once + ~half the final KV cache
-    cache_bytes = n_layers * batch * 1025 * 6144 * 2 * 2
-    traffic = 1024 * (n_params * 2 + cache_bytes / 2)
-    print(f"[gpt-6144d decode {n_layers}L] {dt*1e3:.0f} ms / 1024 tok "
+    # per decoded token: all weights read once + ~half the final KV cache
+    kv_item = 1 if kv_int8 else 2
+    cache_bytes = n_layers * batch * 1025 * 6144 * 2 * kv_item
+    traffic = 1024 * (w_bytes + cache_bytes / 2)
+    print(f"[gpt-6144d decode {tag}{n_layers}L] {dt*1e3:.0f} ms / 1024 tok "
           f"-> {tok_s:.0f} tok/s @ b{batch}; ~{traffic/dt/1e9:.0f} GB/s "
           f"of ~819 GB/s HBM roofline")
+    record("flagship_decode", tok_s, "tok/s", layers=n_layers, batch=batch,
+           int8=int8, kv_int8=kv_int8,
+           gbs=round(traffic / dt / 1e9, 1))
     return dt
 
 

@@ -321,6 +321,42 @@ def test_quantized_decode_sampling():
     assert float((q_rq == full_rq).mean()) > 0.5
 
 
+def test_dropped_kernel_int8_serving():
+    """drop_quantized_kernels: the bf16 kernels are dead weight once the
+    quant collection exists — dropping them (the memory mode that fits the
+    24L flagship on one chip) leaves GPT sampling, incl. the int8 prefill
+    path, bit-identical. Placeholders keep the scan layer axis (a 0-d
+    placeholder broke flax scan_prefill)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.models.stage2 import (GPT, drop_quantized_kernels,
+                                             quantize_decode_params,
+                                             sample_gpt)
+
+    for scan in (True, False):
+        m = GPT(vocab_cond_size=10, vocab_img_size=256, embed_dim=128,
+                cond_num_tokens=1, img_num_tokens=8, n_heads=4, n_layers=2,
+                scan_layers=scan)
+        conds = jnp.zeros((2, 1), jnp.int32)
+        vs = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8), jnp.int32),
+                    conds)
+        qvs = quantize_decode_params(vs)
+        dvs = drop_quantized_kernels(qvs)
+        # kernels with int8 twins collapsed to (..., 1, 1); biases intact
+        blk = (dvs["params"]["blocks"] if scan
+               else dvs["params"]["blocks_0"])
+        k = blk["attn"]["query"]["kernel"]
+        assert k.shape[-2:] == (1, 1)
+        if scan:
+            assert k.shape[0] == 2  # layer axis survives for nn.scan
+        assert blk["attn"]["query"]["bias"].ndim >= 1
+        _, want = sample_gpt(m, qvs, conds, jax.random.PRNGKey(1), top_k=1)
+        _, got = sample_gpt(m, dvs, conds, jax.random.PRNGKey(1), top_k=1)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def test_int8_kv_cache_sampling():
     """kv_int8=True: int8 cache + per-row scales; greedy codes match the
     bf16-cache sampler exactly on this tiny model (per-row int8 keeps
