@@ -187,23 +187,48 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False):
             n_layers=n_layers, dtype=jnp.bfloat16, kv_int8=kv_int8)
     conds = jnp.zeros((batch, 1), jnp.int32)
 
-    # serving config: params live in bf16 (int8 kernels beside them when
-    # quantized). The cast/quant must be FUSED with init in one jit — a
-    # separate init materializes the full fp32 tree (11+ GB at 6L) before
-    # the cast and OOMs 16 GB HBM
-    @jax.jit
-    def init_serving(key):
-        vs = m.init(key, jnp.zeros((batch, 1024), jnp.int32), conds)
-        vs = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-            vs)
-        if int8:
-            # drop the bf16 copies of quantized kernels — the GPT decode
-            # never reads them, and at 24L they alone exceed HBM
-            vs = drop_quantized_kernels(quantize_decode_params(vs))
-        return vs
+    if int8:
+        # Build the served (int8 kernels + placeholders) tree leaf-by-leaf
+        # from eval_shape — at 24L even ONE stacked fp32 kernel (fc1:
+        # 24x6144x24576 = 14.5 GB) blows HBM, so the full-precision tree
+        # must never exist on device. Random int8 kernels + constant scales
+        # are throughput-equivalent to quantized trained weights.
+        shapes = jax.eval_shape(
+            m.init, jax.random.PRNGKey(0),
+            jnp.zeros((batch, 1024), jnp.int32), conds)
+        shapes = jax.tree.map(lambda s: jax.ShapeDtypeStruct(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            shapes)
+        template = jax.eval_shape(
+            lambda p: drop_quantized_kernels(quantize_decode_params(p)),
+            shapes)
 
-    vs = init_serving(jax.random.PRNGKey(0))
+        def gen(path, s):
+            ks = jax.tree_util.keystr(path)
+            key = jax.random.PRNGKey(abs(hash(ks)) % (2**31))
+            if s.dtype == jnp.int8:
+                return jax.jit(lambda: jax.random.randint(
+                    key, s.shape, -127, 128, jnp.int32).astype(jnp.int8))()
+            if ks.endswith("['scale']"):
+                # quant dequant scales / LayerNorm scales
+                fill = 0.02 / 127.0 if ks.startswith("['quant']") else 1.0
+                return jnp.full(s.shape, fill, s.dtype)
+            return jax.jit(lambda: 0.02 * jax.random.normal(
+                key, s.shape, jnp.float32).astype(s.dtype))()
+
+        vs = jax.tree_util.tree_map_with_path(gen, template)
+    else:
+        # params live in bf16; the cast must be FUSED with init in one jit —
+        # a separate init materializes the full fp32 tree (11+ GB at 6L)
+        # before the cast and OOMs 16 GB HBM
+        @jax.jit
+        def init_serving(key):
+            vs = m.init(key, jnp.zeros((batch, 1024), jnp.int32), conds)
+            return jax.tree.map(
+                lambda a: (a.astype(jnp.bfloat16)
+                           if a.dtype == jnp.float32 else a), vs)
+
+        vs = init_serving(jax.random.PRNGKey(0))
     n_params = sum(p.size for p in jax.tree.leaves(vs["params"]))
     w_bytes = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(
         {k: v for k, v in vs.items() if k in ("params", "quant")}))
@@ -318,6 +343,12 @@ def main():
                     choices=["all", "layer", "train", "decode", "rq", "rqsample"])
     ap.add_argument("--layers", type=int, default=None,
                     help="depth override for train/decode parts")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="batch for the decode part")
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8 decode (bf16 kernels dropped)")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache for the decode part")
     args = ap.parse_args()
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
@@ -332,7 +363,8 @@ def main():
                 print(f"[gpt-6144d train {nl}L] failed: "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
     if args.part in ("all", "decode"):
-        bench_decode(args.layers or 8)
+        bench_decode(args.layers or 8, batch=args.batch,
+                     int8=args.int8, kv_int8=args.kv_int8)
     if args.part in ("all", "rq"):
         bench_rq()
     if args.part == "rqsample":

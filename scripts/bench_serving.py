@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--dispatch", type=int, nargs="+", default=[1, 8, 32])
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--dim", type=int, default=1024)
+    ap.add_argument("--int8", action="store_true",
+                    help="weights-only int8 + int8 KV serving pool")
     args = ap.parse_args()
 
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
@@ -37,14 +39,29 @@ def main():
 
     from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
     from enhancing_tpu.models.stage2.layers import GPT
+    from enhancing_tpu.models.stage2.quantize import (drop_quantized_kernels,
+                                                      quantize_decode_params)
     from enhancing_tpu.models.stage2.sampling import sample_gpt
+    from enhancing_tpu.utils.bench_log import record
 
     T = 1024
     m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=args.dim,
             cond_num_tokens=1, img_num_tokens=T, n_heads=16,
-            n_layers=args.layers, dtype=jnp.bfloat16)
-    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, T), jnp.int32),
-                jnp.zeros((1, 1), jnp.int32))
+            n_layers=args.layers, dtype=jnp.bfloat16, kv_int8=args.int8)
+    # fused init+cast (see bench_flagship): serving params live in bf16
+    @jax.jit
+    def init_bf16(key):
+        v = m.init(key, jnp.zeros((1, T), jnp.int32),
+                   jnp.zeros((1, 1), jnp.int32))
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            v)
+
+    vs = init_bf16(jax.random.PRNGKey(0))
+    if args.int8:
+        vs = drop_quantized_kernels(quantize_decode_params(vs))
+    dims = dict(slots=args.slots, dim=args.dim, layers=args.layers,
+                int8=args.int8)
 
     # lockstep baseline at the same batch. Caveat: sample_gpt also
     # stacks/transposes the full (B, T, V) f32 logits (~1 GB at these
@@ -62,6 +79,7 @@ def main():
         best = min(best, time.time() - t0)
     print(f"[lockstep b{args.slots}] {args.slots * T / best:.0f} tok/s",
           flush=True)
+    record("serving_lockstep", args.slots * T / best, "tok/s", **dims)
 
     for n in args.dispatch:
         b = ContinuousGPTBatcher(m, vs, num_slots=args.slots,
@@ -94,6 +112,7 @@ def main():
         print(f"[continuous b{args.slots} dispatch={n}] "
               f"{tok_s:.0f} tok/s steady-state (staggered slots, "
               f"admissions included)", flush=True)
+        record("serving_continuous", tok_s, "tok/s", dispatch=n, **dims)
 
 
 if __name__ == "__main__":

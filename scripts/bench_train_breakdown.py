@@ -142,6 +142,7 @@ def main():
     maybe_enable_from_env()
     import jax
     import jax.numpy as jnp
+    from enhancing_tpu.utils.bench_log import record
 
     fl_ae_b8, fl_d_b8 = ((float("nan"), float("nan")) if args.no_flops
                          else algorithmic_flops_b8())
@@ -182,6 +183,8 @@ def main():
             t = phase(args.phase, fn, iters=4 if args.phase == "r1" else 10)
             print(f"[gan-phase b{batch}{' remat' if remat else ''} "
                   f"{args.phase}] {t*1e3:.1f} ms", flush=True)
+            record("gan_phase_ms", t * 1e3, "ms", batch=batch, remat=remat,
+                   phase=args.phase, disc_bf16=args.disc_bf16)
             continue
 
         t_ae = phase("ae", ae)
@@ -202,6 +205,11 @@ def main():
               f"amortized/16 -> {amort*1e3:.1f} ms); "
               f"MFU {fl/total/PEAK*100:.1f}% "
               f"({fl_ae/1e9:.0f}+{fl_d/1e9:.0f} GF)", flush=True)
+        record("gan_train_step", batch / total, "img/s", batch=batch,
+               remat=remat, disc_bf16=args.disc_bf16,
+               ae_ms=round(t_ae * 1e3, 1), d_ms=round(t_d * 1e3, 1),
+               r1_ms=round(t_r1 * 1e3, 1),
+               mfu_pct=round(fl / total / PEAK * 100, 1))
 
 
 if __name__ == "__main__":
