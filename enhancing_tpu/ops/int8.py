@@ -47,6 +47,51 @@ def quantize_channelwise(w: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
+# Fake quantization (numerics experiments: W8A8 is exactly representable as
+# fake-quant because the int8 dot accumulates losslessly in int32)
+# ---------------------------------------------------------------------------
+
+
+def fake_quant_act(x: jax.Array) -> jax.Array:
+    """Per-row (last axis) symmetric int8 fake-quant — dynamic activation
+    quantization as the int8 MXU path would compute it."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    return (jnp.clip(jnp.round(x32 / s), -127, 127) * s).astype(x.dtype)
+
+
+def fake_quant_weights(params):
+    """Per-output-channel int8 fake-quant of every >=2-D ``kernel`` leaf
+    (same scale factorization as quantize_channelwise, dequantized in
+    place). Use to measure weights-only int8 numerics on any model."""
+    def q(path, a):
+        if path and getattr(path[-1], "key", None) == "kernel" \
+                and hasattr(a, "ndim") and a.ndim >= 2:
+            w_q, scale = quantize_channelwise(a)
+            return (w_q.astype(jnp.float32) * scale[..., None, :]
+                    ).astype(a.dtype)
+        return a
+    return jax.tree_util.tree_map_with_path(q, params)
+
+
+def intercept_dense_w8a8():
+    """flax ``intercept_methods`` context fake-quantizing the input of every
+    ``nn.Dense`` call — combine with ``fake_quant_weights`` for a full W8A8
+    numerics run without model surgery (scripts/bench_int8_stage1.py,
+    scripts/parity_report.py --int8)."""
+    import flax.linen as nn
+
+    def interceptor(next_fn, args, kwargs, context):
+        if isinstance(context.module, nn.Dense) \
+                and context.method_name == "__call__":
+            args = (fake_quant_act(args[0]),) + args[1:]
+        return next_fn(*args, **kwargs)
+
+    return nn.intercept_methods(interceptor)
+
+
+# ---------------------------------------------------------------------------
 # y = act((x @ w_q) * scale + b) [+ residual]
 # ---------------------------------------------------------------------------
 

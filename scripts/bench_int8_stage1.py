@@ -39,15 +39,6 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def fake_quant_act(x):
-    """Per-row symmetric int8 fake-quant (dynamic activation quant)."""
-    import jax.numpy as jnp
-    x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-12) / 127.0
-    return (jnp.clip(jnp.round(x32 / s), -127, 127) * s).astype(x.dtype)
-
-
 def bench_gemm():
     import jax
     import jax.numpy as jnp
@@ -97,12 +88,13 @@ def bench_gemm():
 
 
 def bench_numerics():
-    import flax.linen as nn
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    from enhancing_tpu.ops.int8 import (fake_quant_weights,
+                                        intercept_dense_w8a8)
     from enhancing_tpu.utils.bench_log import record
 
     enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072)
@@ -112,24 +104,8 @@ def bench_numerics():
     module = model.module
     variables = model.variables
 
-    def fq_weights(tree):
-        def q(path, a):
-            if path[-1].key == "kernel" and a.ndim >= 2:
-                a32 = a.astype(jnp.float32)
-                s = jnp.maximum(jnp.max(jnp.abs(a32), axis=-2,
-                                        keepdims=True), 1e-12) / 127.0
-                return (jnp.clip(jnp.round(a32 / s), -127, 127) * s
-                        ).astype(a.dtype)
-            return a
-        return jax.tree_util.tree_map_with_path(q, tree)
-
-    qvars = {**variables, "params": fq_weights(variables["params"])}
-
-    def act_interceptor(next_fn, args, kwargs, context):
-        if isinstance(context.module, nn.Dense) \
-                and context.method_name == "__call__":
-            args = (fake_quant_act(args[0]),) + args[1:]
-        return next_fn(*args, **kwargs)
+    qvars = {**variables,
+             "params": fake_quant_weights(variables["params"])}
 
     @jax.jit
     def roundtrip(vs, x):
@@ -138,7 +114,7 @@ def bench_numerics():
 
     @jax.jit
     def roundtrip_w8a8(vs, x):
-        with nn.intercept_methods(act_interceptor):
+        with intercept_dense_w8a8():
             codes = module.apply(vs, x, method="encode_codes")
             return codes, module.apply(vs, codes, method="decode_codes")
 

@@ -60,6 +60,11 @@ def main() -> None:
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--max-images", type=int, default=50_000)
+    p.add_argument("--int8", action="store_true",
+                   help="ALSO run the W8A8 fake-quant round trip (ops/int8 "
+                        "fake_quant_*) and report int8-vs-bf16 code match + "
+                        "int8 PSNR/SSIM/rFID — the quantized-serving "
+                        "numerics gate for when real weights land")
     p.add_argument("-o", "--out", default="parity_report.json")
     args = p.parse_args()
 
@@ -89,6 +94,21 @@ def main() -> None:
                        0.0, 1.0)
         return codes, rec
 
+    if args.int8:
+        from enhancing_tpu.ops.int8 import (fake_quant_weights,
+                                            intercept_dense_w8a8)
+        qvars = {**variables,
+                 "params": fake_quant_weights(variables["params"])}
+
+        @jax.jit
+        def roundtrip_int8(x):
+            with intercept_dense_w8a8():
+                codes = module.apply(qvars, x, method="encode_codes")
+                rec = jnp.clip(
+                    module.apply(qvars, codes, method="decode_codes"),
+                    0.0, 1.0)
+            return codes, rec
+
     fd, fd_kind = None, None
     if args.inception:
         from enhancing_tpu.eval.inception import fid_feature_fn, init_inception
@@ -100,7 +120,13 @@ def main() -> None:
         fd = FrechetDistance(vgg_feature_fn(lp.perceptual, lp.lpips_params))
         fd_kind = "vgg_frechet"
 
+    fd8 = None
+    if args.int8 and fd_kind == "rfid":
+        from enhancing_tpu.eval.inception import fid_feature_fn
+        fd8 = FrechetDistance(fid_feature_fn(net, iparams))
+
     psnrs, ssims, all_codes, n = [], [], [], 0
+    psnrs8, ssims8, match8 = [], [], []
     for x in iter_image_batches(args.val_dir, args.resolution,
                                 args.batch_size, args.max_images):
         codes, rec = roundtrip(jnp.asarray(x))
@@ -110,6 +136,15 @@ def main() -> None:
         if fd is not None:
             fd.update_real(jnp.asarray(x))
             fd.update_fake(rec)
+        if args.int8:
+            codes8, rec8 = roundtrip_int8(jnp.asarray(x))
+            psnrs8.append(np.asarray(psnr(jnp.asarray(x), rec8)))
+            ssims8.append(np.asarray(ssim(jnp.asarray(x), rec8)))
+            match8.append(float(jnp.mean((codes8 == codes)
+                                         .astype(jnp.float32))))
+            if fd8 is not None:
+                fd8.update_real(jnp.asarray(x))
+                fd8.update_fake(rec8)
         n += x.shape[0]
 
     n_embed = model_cfg["params"]["quantizer"]["n_embed"]
@@ -127,6 +162,14 @@ def main() -> None:
         report["rfid"] = None
         report["note"] = ("no --inception/--vgg weights given; rFID skipped "
                           "(PSNR/SSIM computed)")
+    if args.int8:
+        report["int8_w8a8"] = {
+            "code_match_vs_bf16": float(np.mean(match8)),
+            "psnr": float(np.mean(np.concatenate(psnrs8))),
+            "ssim": float(np.mean(np.concatenate(ssims8))),
+        }
+        if fd8 is not None:
+            report["int8_w8a8"]["rfid"] = fd8.compute()
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
 

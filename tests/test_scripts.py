@@ -205,12 +205,17 @@ def test_parity_report_end_to_end(tmp_path, capsys, monkeypatch):
     _run_script("parity_report.py", [
         "--hf_ckpt", str(ckpt), "--val_dir", str(val),
         "-c", str(_tiny_parity_config(tmp_path)),
-        "--resolution", "32", "--batch-size", "4", "-o", str(out)])
+        "--resolution", "32", "--batch-size", "4", "--int8",
+        "-o", str(out)])
     rep = json.loads(out.read_text())
     assert rep["n_images"] == 6
     assert np.isfinite(rep["psnr"]) and 0 < rep["ssim"] <= 1
     assert rep["codebook"]["usage"] >= 0
     assert rep["rfid"] is None and "note" in rep
+    # --int8: the W8A8 numerics gate rides the same report
+    q8 = rep["int8_w8a8"]
+    assert 0 <= q8["code_match_vs_bf16"] <= 1
+    assert np.isfinite(q8["psnr"]) and 0 < q8["ssim"] <= 1
 
 
 def test_parity_report_vgg_frechet(tmp_path, capsys, monkeypatch):
