@@ -175,6 +175,11 @@ def main(argv=None):
                         "scan); >1 amortizes dispatch latency on "
                         "network-attached chips at n-token completion "
                         "granularity")
+    p.add_argument("--int8", action="store_true",
+                   help="weights-only int8 + int8 KV serving: halves the "
+                        "param + cache HBM reads of the bandwidth-bound "
+                        "decode (GPT also drops the bf16 kernel copies; "
+                        "the RQ depth stack still recomputes through them)")
     args = p.parse_args(argv)
 
     import jax
@@ -192,10 +197,19 @@ def main(argv=None):
     model = initialize_from_config(cfg.model)
     if args.ckpt:
         model.init_from_ckpt(args.ckpt)
-    cls = (ContinuousRQBatcher if getattr(model, "is_rq", False)
-           else ContinuousGPTBatcher)
+    is_rq = getattr(model, "is_rq", False)
+    cls = ContinuousRQBatcher if is_rq else ContinuousGPTBatcher
+    tfm = model.transformer
+    variables = {"params": model.params}
+    if args.int8:
+        from enhancing_tpu.models.stage2.quantize import (
+            drop_quantized_kernels, quantize_decode_params)
+        variables = quantize_decode_params(variables)
+        if not is_rq:
+            variables = drop_quantized_kernels(variables)
+        tfm = tfm.clone(kv_int8=True)
     batcher = cls(
-        model.transformer, {"params": model.params}, args.slots,
+        tfm, variables, args.slots,
         jax.random.PRNGKey(args.seed), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p)
     loop = BatcherLoop(batcher, args.steps_per_dispatch)

@@ -110,3 +110,38 @@ def test_rq_generate(rq_server):
     codes = out["codes"]                    # (T, D) nested lists
     assert len(codes) == 16 and all(len(c) == 2 for c in codes)
     assert all(0 <= x < 128 for row in codes for x in row)
+
+
+PORT_Q8 = 8793
+
+
+@pytest.fixture(scope="module")
+def int8_server():
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "serve_continuous_q8", root / "scripts" / "serve_continuous.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = ["-c", "fake_gpt_tiny", "--slots", "2", "-p", str(PORT_Q8),
+            "--top_k", "1", "--int8"]
+    t = threading.Thread(target=mod.main, args=(argv,), daemon=True)
+    t.start()
+    import time
+    for _ in range(120):
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT_Q8}/healthz", timeout=1)
+            break
+        except Exception:
+            time.sleep(1)
+    yield f"http://127.0.0.1:{PORT_Q8}"
+
+
+def test_int8_generate(int8_server):
+    """--int8 serving (quantized weights, dropped bf16 kernels, int8 KV):
+    requests complete with full valid sequences through the same HTTP
+    surface."""
+    out = _generate(int8_server, 3)
+    codes = out["codes"]
+    assert len(codes) == 16
+    assert all(0 <= int(x) < 128 for x in codes)
