@@ -79,6 +79,10 @@ class MultiHeadSelfAttention(nn.Module):
     attn_bias: bool = True
     use_mask: bool = True
     dtype: jnp.dtype = jnp.float32
+    # W8A8 serving: int8-quantize activations per row and run the quant-
+    # collection GEMMs on the MXU's native int8 path (ops/int8._w8a8_dot).
+    # Only consulted where a "quant" collection is present.
+    act_int8: bool = False
 
     def setup(self) -> None:
         assert self.embed_dim % self.n_heads == 0
@@ -216,7 +220,8 @@ class MultiHeadSelfAttention(nn.Module):
             bp = (self.proj.variables["params"]["bias"]
                   if self.attn_bias else None)
             return (int8_gemm(y2, qv["proj"]["kernel_q"],
-                              qv["proj"]["scale"], bp), k_new, v_new)
+                              qv["proj"]["scale"], bp,
+                              w8a8=self.act_int8), k_new, v_new)
         return self.proj(y2), k_new, v_new
 
     def prefill(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array
@@ -240,7 +245,7 @@ class MultiHeadSelfAttention(nn.Module):
             b_qkv = (jnp.concatenate(
                 [self.variables["params"][n]["bias"] for n in names])
                 if self.attn_bias else None)
-            qkv = int8_gemm(x, wq, sc, b_qkv)
+            qkv = int8_gemm(x, wq, sc, b_qkv, w8a8=self.act_int8)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = self.query_p(x)
@@ -260,7 +265,8 @@ class MultiHeadSelfAttention(nn.Module):
             bp = (self.variables["params"]["proj"]["bias"]
                   if self.attn_bias else None)
             return (int8_gemm(y, qv["proj"]["kernel_q"],
-                              qv["proj"]["scale"], bp), k_cache, v_cache)
+                              qv["proj"]["scale"], bp,
+                              w8a8=self.act_int8), k_cache, v_cache)
         return self.proj(y), k_cache, v_cache
 
 
@@ -298,6 +304,7 @@ class Block(nn.Module):
     attn_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     sp_mesh: Optional[jax.sharding.Mesh] = None
+    act_int8: bool = False   # W8A8 serving (see MultiHeadSelfAttention)
 
     def _sp(self, x: jax.Array) -> jax.Array:
         if self.sp_mesh is None:
@@ -312,7 +319,8 @@ class Block(nn.Module):
         self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn = MultiHeadSelfAttention(
             embed_dim=self.embed_dim, n_heads=self.n_heads,
-            cond_len=self.cond_len, attn_bias=self.attn_bias, dtype=self.dtype)
+            cond_len=self.cond_len, attn_bias=self.attn_bias,
+            dtype=self.dtype, act_int8=self.act_int8)
         self.mlp = FFN(self.embed_dim, self.mlp_bias, dtype=self.dtype)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -361,7 +369,7 @@ class Block(nn.Module):
                                  axis=-1)
             qkv, xn = int8_ln_gemm(x, p_ln1["scale"], p_ln1["bias"], tm,
                                    shift_prev[:, None, :], wq, sc, b_qkv,
-                                   eps=1e-5)
+                                   eps=1e-5, w8a8=self.act_int8)
             new_shift = xn[:, -1, :]
         elif "qkv" in sites:
             w_qkv = jnp.concatenate(
@@ -396,7 +404,8 @@ class Block(nn.Module):
                         x, p_ln2["scale"], p_ln2["bias"],
                         qv_mlp["p0"]["kernel_q"], qv_mlp["p0"]["scale"], b0,
                         qv_mlp["p1"]["kernel_q"], qv_mlp["p1"]["scale"], b1,
-                        residual=x, activation="sqrelu", eps=1e-5),
+                        residual=x, activation="sqrelu", eps=1e-5,
+                        w8a8=self.act_int8),
                     k_new, v_new, new_shift)
         if "mlp" in sites:
             h = fused_ln_gemm(x, p_ln2["scale"], p_ln2["bias"],
@@ -424,7 +433,8 @@ class Block(nn.Module):
                 p_mlp["p0"]["bias"] if self.mlp_bias else None,
                 qv_mlp["p1"]["kernel_q"], qv_mlp["p1"]["scale"],
                 p_mlp["p1"]["bias"] if self.mlp_bias else None,
-                residual=x, activation="sqrelu", eps=1e-5)
+                residual=x, activation="sqrelu", eps=1e-5,
+                w8a8=self.act_int8)
         else:
             x = x + self.mlp(self.ln2(x))
         return x, k_cache, v_cache, new_shift
@@ -475,6 +485,10 @@ class GPT(nn.Module):
     # current token's k/v and all compute stay full precision; composes
     # with weights-only int8 (quantize_decode_params).
     kv_int8: bool = False
+    # W8A8 serving: activations also int8, GEMMs on the MXU's native int8
+    # path — at flagship dims the dequant kernels' in-VMEM weight cast is
+    # the bottleneck (README decode table). Needs a "quant" collection.
+    act_int8: bool = False
     # sequence parallelism for the residual stream (see Block.sp_mesh)
     sp_mesh: Optional[jax.sharding.Mesh] = None
 
@@ -494,7 +508,7 @@ class GPT(nn.Module):
         block_kw = dict(embed_dim=self.embed_dim, n_heads=self.n_heads,
                         cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
                         attn_bias=self.attn_bias, dtype=self.dtype,
-                        sp_mesh=self.sp_mesh)
+                        sp_mesh=self.sp_mesh, act_int8=self.act_int8)
         if self.scan_layers:
             # one compiled block body shared by all layers (stacked params)
             target = nn.remat(Block) if self.remat else Block
@@ -689,7 +703,8 @@ class GPT(nn.Module):
             p_ln = self.layer_norm.variables["params"]
             logits, _ = int8_ln_gemm(
                 x[:, self.cond_num_tokens - 1], p_ln["scale"], p_ln["bias"],
-                None, None, qv["kernel_q"], qv["scale"], None, eps=1e-5)
+                None, None, qv["kernel_q"], qv["scale"], None, eps=1e-5,
+                w8a8=self.act_int8)
             return logits, cache
         x = self.layer_norm(x)
         logits = self.head(x[:, self.cond_num_tokens - 1])
@@ -723,7 +738,7 @@ class GPT(nn.Module):
             logits, _ = int8_ln_gemm(x[:, -1], p_ln["scale"],
                                      p_ln["bias"], None, None,
                                      qv["kernel_q"], qv["scale"], None,
-                                     eps=1e-5)
+                                     eps=1e-5, w8a8=self.act_int8)
         elif not self.is_initializing() and "head" in _lnfuse_sites():
             # final LN folded into the vocab-head GEMM (one kernel fewer
             # per token; same dispatch-bound argument as Block.decode)
@@ -761,6 +776,9 @@ class RQTransformer(nn.Module):
     # INT8 spatial KV cache with per-row scales (see GPT.kv_int8; the
     # depth stack has no cache to quantize)
     kv_int8: bool = False
+    # W8A8 for the SPATIAL decode GEMMs (see GPT.act_int8; the depth
+    # stack samples by full recompute through the bf16 kernels)
+    act_int8: bool = False
     # sequence parallelism for the SPATIAL stack's residual stream (the
     # depth stack's window is tiny, <= 8 tokens — nothing to shard)
     sp_mesh: Optional[jax.sharding.Mesh] = None
@@ -786,7 +804,7 @@ class RQTransformer(nn.Module):
         sp_kw = dict(embed_dim=self.embed_dim, n_heads=self.spatial_n_heads,
                      cond_len=self.cond_num_tokens, mlp_bias=self.mlp_bias,
                      attn_bias=self.attn_bias, dtype=self.dtype,
-                     sp_mesh=self.sp_mesh)
+                     sp_mesh=self.sp_mesh, act_int8=self.act_int8)
         dp_kw = dict(embed_dim=self.embed_dim, n_heads=self.depth_n_heads,
                      cond_len=0, mlp_bias=self.mlp_bias,
                      attn_bias=self.attn_bias, dtype=self.dtype)

@@ -46,6 +46,33 @@ def quantize_channelwise(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return w_q.astype(jnp.int8), scale
 
 
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (last axis) dynamic symmetric int8: x ~= x_q * sx.
+
+    Returns (x_q int8, sx f32 (..., 1)). The activation half of W8A8 —
+    computed fresh every call (decode activations change per token)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    return x_q, sx
+
+
+def _w8a8_dot(x, w_q, scale):
+    """quantize rows of x -> int8 x int8 -> int32 on the MXU -> rescale.
+
+    W8A8 reads the same 1 byte/weight as the dequant kernels but skips the
+    per-element int8->bf16 weight cast, which at flagship dims (6144x18432
+    per GEMM) is VPU-bound and was measured SLOWER than bf16 (README
+    decode table). The MXU's int8 path also runs at 2x the bf16 slot rate.
+    Cost: bounded activation-quantization error (bench_int8_stage1 /
+    parity_report --int8 measure it)."""
+    x_q, sx = quantize_rows(x)
+    acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32)[None, :])
+
+
 # ---------------------------------------------------------------------------
 # Fake quantization (numerics experiments: W8A8 is exactly representable as
 # fake-quant because the int8 dot accumulates losslessly in int32)
@@ -96,10 +123,13 @@ def intercept_dense_w8a8():
 # ---------------------------------------------------------------------------
 
 
-def _int8_gemm_xla(x, w_q, scale, b, residual, activation):
-    out = jnp.dot(x, w_q.astype(x.dtype),
-                  preferred_element_type=jnp.float32)
-    out = out * scale.astype(jnp.float32)
+def _int8_gemm_xla(x, w_q, scale, b, residual, activation, w8a8=False):
+    if w8a8:
+        out = _w8a8_dot(x, w_q, scale)
+    else:
+        out = jnp.dot(x, w_q.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        out = out * scale.astype(jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     out = _act(out, activation)
@@ -184,15 +214,19 @@ def _int8_gemm_pallas(x, w_q, scale, b, residual, activation):
     )(*args)
 
 
-def _int8_gemm_impl(x, w_q, scale, b, activation, impl):
+def _int8_gemm_impl(x, w_q, scale, b, activation, w8a8, impl):
     m, d = x.shape
+    if w8a8:  # XLA's native int8 dot already rides the MXU; no kernel
+        return _int8_gemm_xla(x, w_q, scale, b, None, activation, True)
     if use_pallas(impl) and _int8_supported(m, d, w_q.shape[1], x.dtype):
         return _int8_gemm_pallas(x, w_q, scale, b, None, activation)
     return _int8_gemm_xla(x, w_q, scale, b, None, activation)
 
 
-def _int8_gemm_res_impl(x, w_q, scale, b, residual, activation, impl):
+def _int8_gemm_res_impl(x, w_q, scale, b, residual, activation, w8a8, impl):
     m, d = x.shape
+    if w8a8:
+        return _int8_gemm_xla(x, w_q, scale, b, residual, activation, True)
     if use_pallas(impl) and _int8_supported(m, d, w_q.shape[1], x.dtype):
         return _int8_gemm_pallas(x, w_q, scale, b, residual, activation)
     return _int8_gemm_xla(x, w_q, scale, b, residual, activation)
@@ -202,23 +236,26 @@ def _int8_gemm_res_impl(x, w_q, scale, b, residual, activation, impl):
 # parallel); the contraction axis d must be whole per shard.
 _int8_gemm_part = partitioned(
     _int8_gemm_impl, "m d, d n, n, n -> m n",
-    need_replication=("d",), static_argnums=(4, 5))
+    need_replication=("d",), static_argnums=(4, 5, 6))
 
 _int8_gemm_res_part = partitioned(
     _int8_gemm_res_impl, "m d, d n, n, n, m n -> m n",
-    need_replication=("d",), static_argnums=(5, 6))
+    need_replication=("d",), static_argnums=(5, 6, 7))
 
 
 def int8_gemm(x: jax.Array, w_q: jax.Array, scale: jax.Array,
               b: jax.Array | None = None, *,
               activation: str | None = None,
               residual: jax.Array | None = None,
+              w8a8: bool = False,
               impl: str | None = "auto") -> jax.Array:
     """act((x @ w_q) * scale + b) [+ residual] with int8 weights.
 
     x: (..., d); w_q: (d, n) int8; scale: (n,) f32 per-output-channel;
     b: (n,) or None; residual: (..., n) fused post-activation add (the
     transformer residual — saves a kernel in the dispatch-bound decode).
+    ``w8a8``: also dynamically int8-quantize x per row and run the dot on
+    the MXU's native int8 path (see _w8a8_dot) — the big-dim decode mode.
     """
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
@@ -227,9 +264,9 @@ def int8_gemm(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     if residual is not None:
         out = _int8_gemm_res_part(x2, w_q, scale, bz,
                                   residual.reshape(-1, w_q.shape[1]),
-                                  activation, impl)
+                                  activation, w8a8, impl)
     else:
-        out = _int8_gemm_part(x2, w_q, scale, bz, activation, impl)
+        out = _int8_gemm_part(x2, w_q, scale, bz, activation, w8a8, impl)
     return out.reshape(*batch_shape, w_q.shape[1])
 
 
@@ -241,13 +278,16 @@ def int8_gemm(x: jax.Array, w_q: jax.Array, scale: jax.Array,
 
 
 def _int8_ln_gemm_xla(x, gamma, beta, tm, prev, w_q, scale, b, activation,
-                      eps):
+                      eps, w8a8=False):
     xn = layernorm_xla(x, gamma, beta, eps)
     mixed = xn * tm.astype(xn.dtype) + prev.astype(xn.dtype) \
         * (1.0 - tm.astype(xn.dtype)) if tm is not None else xn
-    out = jnp.dot(mixed, w_q.astype(xn.dtype),
-                  preferred_element_type=jnp.float32)
-    out = out * scale.astype(jnp.float32)
+    if w8a8:
+        out = _w8a8_dot(mixed, w_q, scale)
+    else:
+        out = jnp.dot(mixed, w_q.astype(xn.dtype),
+                      preferred_element_type=jnp.float32)
+        out = out * scale.astype(jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return _act(out, activation).astype(x.dtype), xn
@@ -319,8 +359,12 @@ def _int8_ln_gemm_pallas(x, gamma, beta, tm, prev, w_q, scale, b,
 
 
 def _int8_ln_gemm_impl(x, gamma, beta, tm, prev, w_q, scale, b, activation,
-                       eps, with_shift, impl):
+                       eps, with_shift, w8a8, impl):
     m, d = x.shape
+    if w8a8:
+        return _int8_ln_gemm_xla(x, gamma, beta,
+                                 tm if with_shift else None, prev, w_q,
+                                 scale, b, activation, eps, True)
     if use_pallas(impl) and _int8_supported(m, d, w_q.shape[1], x.dtype) \
             and m >= 8:
         return tuple(_int8_ln_gemm_pallas(x, gamma, beta, tm, prev, w_q,
@@ -332,7 +376,7 @@ def _int8_ln_gemm_impl(x, gamma, beta, tm, prev, w_q, scale, b, activation,
 
 _int8_ln_gemm_part = partitioned(
     _int8_ln_gemm_impl, "m d, d, d, d, m d, d n, n, n -> m n, m d",
-    need_replication=("d",), static_argnums=(8, 9, 10, 11))
+    need_replication=("d",), static_argnums=(8, 9, 10, 11, 12))
 
 
 def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
@@ -340,11 +384,13 @@ def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                  w_q: jax.Array, scale: jax.Array,
                  b: jax.Array | None = None, *,
                  activation: str | None = None, eps: float = 1e-5,
+                 w8a8: bool = False,
                  impl: str | None = "auto") -> tuple[jax.Array, jax.Array]:
     """(act((LN(x)*tm + prev*(1-tm)) @ w_q * scale + b), LN(x)), int8 w.
 
     The int8 twin of ops/ln_gemm.fused_ln_shift_gemm — same semantics,
-    int8 weight tile + per-channel rescale of the output.
+    int8 weight tile + per-channel rescale of the output. ``w8a8``: int8
+    activations + native int8 MXU dot (see _w8a8_dot).
     """
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
@@ -357,7 +403,7 @@ def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
              else prev.reshape(-1, d).astype(x.dtype))
     out, xn = _int8_ln_gemm_part(x2, gamma, beta, tm.reshape(-1), prev2,
                                  w_q, scale, bz, activation, eps,
-                                 with_shift, impl)
+                                 with_shift, w8a8, impl)
     return (out.reshape(*batch_shape, w_q.shape[1]),
             xn.reshape(*batch_shape, d))
 
@@ -374,17 +420,23 @@ def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 
 
 def _int8_mlp_xla(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1, residual,
-                  activation, eps):
+                  activation, eps, w8a8=False):
     xn = layernorm_xla(x, gamma, beta, eps)
-    h = jnp.dot(xn, w0_q.astype(xn.dtype),
-                preferred_element_type=jnp.float32)
-    h = h * s0.astype(jnp.float32)
+    if w8a8:
+        h = _w8a8_dot(xn, w0_q, s0)
+    else:
+        h = jnp.dot(xn, w0_q.astype(xn.dtype),
+                    preferred_element_type=jnp.float32)
+        h = h * s0.astype(jnp.float32)
     if b0 is not None:
         h = h + b0.astype(jnp.float32)
     h = _act(h, activation)
-    out = jnp.dot(h.astype(xn.dtype), w1_q.astype(xn.dtype),
-                  preferred_element_type=jnp.float32)
-    out = out * s1.astype(jnp.float32)
+    if w8a8:
+        out = _w8a8_dot(h.astype(x.dtype), w1_q, s1)
+    else:
+        out = jnp.dot(h.astype(xn.dtype), w1_q.astype(xn.dtype),
+                      preferred_element_type=jnp.float32)
+        out = out * s1.astype(jnp.float32)
     if b1 is not None:
         out = out + b1.astype(jnp.float32)
     return (out + residual.astype(jnp.float32)).astype(x.dtype)
@@ -475,9 +527,12 @@ def _int8_mlp_flush_kernel(x_ref, g_ref, bt_ref, w0_ref, s0_ref, b0_ref,
 
 
 def _int8_mlp_impl(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1, residual,
-                   activation, eps, impl):
+                   activation, eps, w8a8, impl):
     m, d = x.shape
     h = w0_q.shape[1]
+    if w8a8:
+        return _int8_mlp_xla(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1,
+                             residual, activation, eps, True)
     if use_pallas(impl) and _int8_supported(m, d, h, x.dtype) \
             and d % 128 == 0 and h % 512 == 0 and m * d * 6 < 4 * 1024 * 1024:
         return _int8_mlp_pallas(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1,
@@ -491,17 +546,18 @@ def _int8_mlp_impl(x, gamma, beta, w0_q, s0, b0, w1_q, s1, b1, residual,
 _int8_mlp_part = partitioned(
     _int8_mlp_impl,
     "m d, d, d, d h, h, h, h d, d, d, m d -> m d",
-    need_replication=("d", "h"), static_argnums=(10, 11, 12))
+    need_replication=("d", "h"), static_argnums=(10, 11, 12, 13))
 
 
 def int8_mlp_decode(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                     w0_q: jax.Array, s0: jax.Array, b0: jax.Array | None,
                     w1_q: jax.Array, s1: jax.Array, b1: jax.Array | None,
                     residual: jax.Array, *, activation: str = "sqrelu",
-                    eps: float = 1e-5, impl: str | None = "auto"
-                    ) -> jax.Array:
+                    eps: float = 1e-5, w8a8: bool = False,
+                    impl: str | None = "auto") -> jax.Array:
     """residual + ((act((LN(x) @ w0_q)*s0 + b0)) @ w1_q)*s1 + b1 — the whole
-    pre-norm MLP as ONE kernel over int8 weights (see module comment)."""
+    pre-norm MLP as ONE kernel over int8 weights (see module comment).
+    ``w8a8``: int8 activations + native int8 MXU dots (see _w8a8_dot)."""
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -509,5 +565,6 @@ def int8_mlp_decode(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     b0z = jnp.zeros((h,), jnp.float32) if b0 is None else b0
     b1z = jnp.zeros((d,), jnp.float32) if b1 is None else b1
     out = _int8_mlp_part(x2, gamma, beta, w0_q, s0, b0z, w1_q, s1, b1z,
-                         residual.reshape(-1, d), activation, eps, impl)
+                         residual.reshape(-1, d), activation, eps, w8a8,
+                         impl)
     return out.reshape(*batch_shape, d)

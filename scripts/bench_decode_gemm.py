@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Decode-shape GEMM study: which int8 story actually beats bf16 on chip.
+
+The flagship decode re-reads each weight once per token; weights-only int8
+halves that traffic, but the in-kernel int8->bf16 weight cast is VPU work
+on EVERY weight element — at 6144-dim shapes the cast no longer hides
+under the DMA (measured: 8L int8w decode SLOWER than bf16, 258 vs 276
+tok/s). Native W8A8 (per-row dynamic activation quant, int8 x int8 ->
+int32 on the MXU) reads the same 1 byte/weight with NO cast.
+
+Methodology: every variant runs inside ONE jitted lax.scan of many
+chained iterations — through the relay a dispatch costs ~10-20 ms, so
+per-op times from short host loops are pure round-trip noise (this
+invalidated an earlier block-size study at 200 iters: ~100 us/iter of
+apparent "overhead" was RTT/200). Times here subtract a second run at
+double length, so program-entry cost cancels exactly.
+
+Appends decode_gemm rows to BENCH_EXTENDED.json.
+
+Usage: python scripts/bench_decode_gemm.py [--m 4 8 32]
+"""
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, nargs="+", default=[4, 8, 32])
+    ap.add_argument("--shapes", type=str, nargs="+",
+                    default=["6144x18432", "6144x6144", "1024x3072"])
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--part", default="gemm", choices=["gemm", "ops"],
+                    help="gemm: raw GEMM variants; ops: the composite "
+                         "decode ops (fused ln_gemm / mlp / attention) at "
+                         "flagship shapes — finds which composite op eats "
+                         "the gap between kernel roofline and decode tok/s")
+    args = ap.parse_args()
+    from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
+    maybe_enable_from_env()
+    import jax
+    import jax.numpy as jnp
+
+    from enhancing_tpu.ops import int8 as q8
+    from enhancing_tpu.utils.bench_log import record
+
+    def timed_scan(fn, x0, n):
+        """Median per-iter time of fn chained n times inside one program,
+        with the program-entry/dispatch cost subtracted via a 2n-length
+        run (same executable family, same transfer)."""
+        def loop(length):
+            @jax.jit
+            def run(x):
+                def body(c, _):
+                    y = fn(c)
+                    # fold the output back so iterations serialize
+                    return (c + jnp.sum(y[:1, :8]).astype(c.dtype)
+                            * jnp.asarray(1e-12, c.dtype)), None
+                c, _ = jax.lax.scan(body, x, None, length=length)
+                return c
+            return run
+
+        run_n, run_2n = loop(n), loop(2 * n)
+        for r in (run_n, run_2n):
+            float(jnp.sum(r(x0).astype(jnp.float32)))  # compile + warm
+        ts = []
+        for t in range(3):
+            xt = x0 + jnp.asarray(t * 1e-6, x0.dtype)
+            t0 = time.perf_counter()
+            float(jnp.sum(run_n(xt).astype(jnp.float32)))
+            t1 = time.perf_counter()
+            float(jnp.sum(run_2n(xt).astype(jnp.float32)))
+            t2 = time.perf_counter()
+            ts.append(((t2 - t1) - (t1 - t0)) / n)
+        return statistics.median(ts)
+
+    if args.part == "ops":
+        bench_ops(args, timed_scan, record)
+        return
+
+    for shape in args.shapes:
+        d, n = map(int, shape.split("x"))
+        key = jax.random.PRNGKey(0)
+        w = (jax.random.normal(key, (d, n), jnp.float32) * 0.02
+             ).astype(jnp.bfloat16)
+        w_q, w_s = q8.quantize_channelwise(w)
+        w_s1 = w_s.reshape(1, -1)
+        bias = jnp.zeros((n,), jnp.float32)
+
+        def bf16(x):
+            return jnp.dot(x, w, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        def dq_xla(x):
+            return q8._int8_gemm_xla(x, w_q, w_s, bias, None, None)
+
+        def dq_pallas(x):
+            return q8._int8_gemm_pallas(x, w_q, w_s, bias, None, None)
+
+        def w8a8(x):
+            x32 = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                             1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * (sx * w_s1)
+                    ).astype(jnp.bfloat16)
+
+        for m in args.m:
+            x = (jax.random.normal(key, (m, d), jnp.float32) * 0.5
+                 ).astype(jnp.bfloat16)
+            wbytes = {"bf16": d * n * 2, "dq-xla": d * n,
+                      "dq-pallas": d * n, "w8a8": d * n}
+            for name, fn in (("bf16", bf16), ("dq-xla", dq_xla),
+                             ("dq-pallas", dq_pallas), ("w8a8", w8a8)):
+                t = timed_scan(fn, x, args.iters)
+                gbs = wbytes[name] / t / 1e9
+                print(f"[gemm m{m} {d}x{n} {name:9s}] {t * 1e6:7.1f} us "
+                      f"({gbs:5.0f} GB/s weight read)", flush=True)
+                record("decode_gemm", t * 1e6, "us", m=m, d=d, n=n,
+                       mode=name, gbs=round(gbs, 1))
+
+
+def bench_ops(args, timed_scan, record):
+    """Composite decode ops at flagship shapes (6144d, 24L, b4): fused
+    int8 ln+qkv GEMM, proj GEMM, whole-MLP kernel, stacked-cache decode
+    attention — per-op us + effective GB/s, per impl."""
+    import jax
+    import jax.numpy as jnp
+
+    from enhancing_tpu.ops import int8 as q8
+    from enhancing_tpu.ops.attention import decode_attention_stacked
+
+    d, h, L, ctx = 6144, 24576, 24, 1152
+    key = jax.random.PRNGKey(0)
+    for m in args.m:
+        x = (jax.random.normal(key, (m, 1, d), jnp.float32) * 0.5
+             ).astype(jnp.bfloat16)
+        g = jnp.ones((d,), jnp.float32)
+        bt = jnp.zeros((d,), jnp.float32)
+        tm = jnp.linspace(0, 1, d).astype(jnp.float32)
+        prev = jnp.zeros((m, 1, d), jnp.bfloat16)
+        w_qkv = (jax.random.normal(key, (d, 3 * d), jnp.float32) * 0.02
+                 ).astype(jnp.bfloat16)
+        wq_qkv, s_qkv = q8.quantize_channelwise(w_qkv)
+        w_pr = (jax.random.normal(key, (d, d), jnp.float32) * 0.02
+                ).astype(jnp.bfloat16)
+        wq_pr, s_pr = q8.quantize_channelwise(w_pr)
+        w0 = (jax.random.normal(key, (d, h), jnp.float32) * 0.02
+              ).astype(jnp.bfloat16)
+        wq0, s0 = q8.quantize_channelwise(w0)
+        w1 = (jax.random.normal(key, (h, d), jnp.float32) * 0.02
+              ).astype(jnp.bfloat16)
+        wq1, s1 = q8.quantize_channelwise(w1)
+        kq = jax.random.randint(key, (L, m, ctx, d), -127, 128,
+                                jnp.int32).astype(jnp.int8)
+        vq = jax.random.randint(key, (L, m, ctx, d), -127, 128,
+                                jnp.int32).astype(jnp.int8)
+        ksc = jnp.full((L, m, ctx), 0.01, jnp.float32)
+        vsc = jnp.full((L, m, ctx), 0.01, jnp.float32)
+        cur = jnp.int32(512)
+
+        def op_qkv(impl, w8a8=False):
+            def f(c):
+                o, _ = q8.int8_ln_gemm(c, g, bt, tm, prev, wq_qkv, s_qkv,
+                                       None, w8a8=w8a8, impl=impl)
+                return o
+            return f
+
+        def op_proj(impl, w8a8=False):
+            return lambda c: q8.int8_gemm(
+                c[..., :d], wq_pr, s_pr, None, w8a8=w8a8, impl=impl)
+
+        def op_mlp(impl, w8a8=False):
+            return lambda c: q8.int8_mlp_decode(
+                c, g, bt, wq0, s0, None, wq1, s1, None, residual=c,
+                activation="sqrelu", w8a8=w8a8, impl=impl)
+
+        def op_attn(c):
+            # sum over a mini layer walk like the scan body does
+            y = decode_attention_stacked(
+                c[:, 0, :], kq, vq, c[:, 0, :], c[:, 0, :],
+                cur, jnp.int32(0), head_dim=384,
+                k_scale=ksc, v_scale=vsc)
+            return y[:, None, :]
+
+        cases = [
+            ("qkv xla", op_qkv("xla"), d * 3 * d),
+            ("qkv w8a8", op_qkv("xla", True), d * 3 * d),
+            ("proj xla", op_proj("xla"), d * d),
+            ("proj pallas", op_proj("pallas"), d * d),
+            ("proj w8a8", op_proj("xla", True), d * d),
+            ("mlp xla", op_mlp("xla"), 2 * d * h),
+            ("mlp pallas", op_mlp("pallas"), 2 * d * h),
+            ("mlp w8a8", op_mlp("xla", True), 2 * d * h),
+            ("attn int8kv L-slice", op_attn, 2 * 512 * d),
+        ]
+        for name, fn, bytes_r in cases:
+            try:
+                t = timed_scan(fn, x, args.iters // 4)
+            except Exception as e:
+                print(f"[op m{m} {name}] FAILED {type(e).__name__}: "
+                      f"{str(e)[:90]}", flush=True)
+                continue
+            gbs = bytes_r * (m if name.startswith("attn") else 1) / t / 1e9
+            print(f"[op m{m} {name:20s}] {t * 1e6:7.1f} us "
+                  f"({gbs:5.0f} GB/s)", flush=True)
+            record("decode_op", t * 1e6, "us", m=m, op=name,
+                   gbs=round(gbs, 1))
+
+
+if __name__ == "__main__":
+    main()

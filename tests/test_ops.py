@@ -732,6 +732,41 @@ def test_int8_ln_gemm_pallas_matches_xla(rng):
                                atol=2e-5)
 
 
+def test_w8a8_gemm_exactness(rng):
+    """w8a8=True is EXACTLY quantize-rows -> int8 dot -> rescale (the int8
+    dot accumulates losslessly in int32), and tracks the f32 GEMM within
+    the activation-quant error bound."""
+    from enhancing_tpu.ops import int8 as q8
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 384)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(384), jnp.float32)
+    w_q, scale = q8.quantize_channelwise(w)
+
+    out = q8.int8_gemm(x, w_q, scale, b, w8a8=True)
+    # manual reference
+    x_q, sx = q8.quantize_rows(x)
+    acc = np.asarray(x_q, np.int32) @ np.asarray(w_q, np.int32)
+    want = acc * np.asarray(sx) * np.asarray(scale)[None, :] + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want, rtol=1e-5,
+                               atol=1e-5)
+    # close to the true GEMM: per-element error ~ d * (sx*|w| + sw*|x|)/2
+    true = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    assert np.abs(np.asarray(out, np.float32) - true).max() < 0.2
+
+    # the ln/mlp variants accept the flag end to end
+    g = jnp.ones((256,), jnp.float32)
+    bt = jnp.zeros((256,), jnp.float32)
+    o_ln, _ = q8.int8_ln_gemm(x, g, bt, None, None, w_q, scale, b,
+                              w8a8=True)
+    assert np.isfinite(np.asarray(o_ln)).all()
+    w1 = jnp.asarray(rng.standard_normal((384, 256)) * 0.05, jnp.float32)
+    w1_q, s1 = q8.quantize_channelwise(w1)
+    o_mlp = q8.int8_mlp_decode(x, g, bt, w_q, scale, b, w1_q, s1, None,
+                               residual=x, w8a8=True)
+    assert np.isfinite(np.asarray(o_mlp)).all()
+    assert o_mlp.shape == x.shape
+
+
 def test_fused_ln_shift_gemm_pallas_matches_xla(rng):
     from enhancing_tpu.ops import ln_gemm as lg
     x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)

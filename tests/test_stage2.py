@@ -357,6 +357,50 @@ def test_dropped_kernel_int8_serving():
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_w8a8_sampling():
+    """act_int8=True (W8A8 serving: int8 activations + native int8 MXU
+    dots): deterministic, shape-correct, and greedy codes mostly agree
+    with the weights-only int8 sampler (activation quantization is the
+    only numerics difference)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.models.stage2 import (GPT, RQTransformer,
+                                             drop_quantized_kernels,
+                                             quantize_decode_params,
+                                             sample_gpt, sample_rq)
+
+    kw = dict(vocab_cond_size=10, vocab_img_size=256, embed_dim=128,
+              cond_num_tokens=1, img_num_tokens=16, n_heads=4, n_layers=2)
+    m = GPT(**kw)
+    conds = jnp.zeros((4, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((4, 16), jnp.int32), conds)
+    dvs = drop_quantized_kernels(quantize_decode_params(vs))
+    _, ref = sample_gpt(m, dvs, conds, jax.random.PRNGKey(1), top_k=1)
+
+    m8 = GPT(**kw, act_int8=True, kv_int8=True)
+    _, a = sample_gpt(m8, dvs, conds, jax.random.PRNGKey(1), top_k=1)
+    _, b = sample_gpt(m8, dvs, conds, jax.random.PRNGKey(1), top_k=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == ref.shape
+    assert float((a == ref).mean()) > 0.5
+
+    rkw = dict(vocab_cond_size=10, vocab_img_size=64, embed_dim=128,
+               cond_num_tokens=1, img_num_tokens=4, depth_num_tokens=2,
+               spatial_n_heads=4, depth_n_heads=4, spatial_n_layers=2,
+               depth_n_layers=2)
+    rq = RQTransformer(**rkw)
+    vs2 = rq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2), jnp.int32),
+                  conds[:1])
+    qvs2 = quantize_decode_params(vs2)  # RQ keeps bf16 kernels (depth path)
+    _, fr = sample_rq(rq, qvs2, conds, jax.random.PRNGKey(2), top_k=1)
+    rq8 = RQTransformer(**rkw, act_int8=True)
+    _, qr = sample_rq(rq8, qvs2, conds, jax.random.PRNGKey(2), top_k=1)
+    assert qr.shape == fr.shape
+    assert float((qr == fr).mean()) > 0.5
+
+
 def test_int8_kv_cache_sampling():
     """kv_int8=True: int8 cache + per-row scales; greedy codes match the
     bf16-cache sampler exactly on this tiny model (per-row int8 keeps
