@@ -34,6 +34,7 @@ from flax import linen as nn
 from ...ops.attention import (decode_attention, decode_attention_stacked,
                               multihead_attention_bnhd)
 from ...ops.cache import cache_row_update, scale_row_update
+from ...ops.common import scanned_weights
 from ...ops.int8 import int8_gemm, int8_ln_gemm, int8_mlp_decode
 from ...ops.ln_gemm import fused_ln_gemm, fused_ln_shift_gemm
 
@@ -53,10 +54,14 @@ def _lnfuse_sites() -> frozenset:
     and weaker DMA pipelining than the elided XLA LN fusions cost — the
     "dispatch-bound" lever was already priced in by XLA's own fusion.
     Kept as an opt-in for re-testing on other topologies. The INT8 decode
-    path (quantize_decode_params) always uses the fused int8 kernels:
-    there the Pallas GEMM is mandatory anyway (XLA cannot fuse operand
-    dequantization into a dot — it would materialize bf16 weights), and
-    the halved weight reads dominate the same overhead."""
+    path always calls the fused int8 entry points, but those resolve to
+    their XLA impls inside the layer scan (ops/common.scanned_weights):
+    the r4 GEMM study disproved the earlier assumption that XLA would
+    materialize dequantized weights — XLA's int8->bf16 convert fuses into
+    the dot's operand read at full HBM rate (dq-xla 810 GB/s at
+    6144x18432, BENCH_EXTENDED decode_gemm rows), while a Pallas custom
+    call inside the scan forces a per-layer weight-slice copy instead
+    (measured 2.14x end-to-end on the 24L flagship int8 decode)."""
     import os
     v = os.environ.get("ENHANCING_TPU_DECODE_LNFUSE", "none")
     if v in ("all", "1"):
@@ -620,8 +625,9 @@ class GPT(nn.Module):
     def _stack_prefill_fp(self, x, cache):
         k_all, v_all, s_all = cache["k"], cache["v"], cache["shift"]
         if self.scan_layers:
-            x, (k_all, v_all, s_new) = self.blocks_stack.scan_prefill(
-                x, (k_all, v_all))
+            with scanned_weights():
+                x, (k_all, v_all, s_new) = self.blocks_stack.scan_prefill(
+                    x, (k_all, v_all))
             s_all = s_new.astype(s_all.dtype)
         else:
             for i, block in enumerate(self.blocks):
@@ -654,10 +660,13 @@ class GPT(nn.Module):
             vs = vs[:, :, :window]
         if self.scan_layers:
             layer_ix = jnp.arange(self.n_layers, dtype=jnp.int32)
-            (x, *_), (k_news, v_news, s_new) = \
-                self.blocks_stack.scan_decode(
-                    (x, cur_len, k_view, v_view, ks, vs),
-                    (s_all, layer_ix))
+            # scanned_weights: the stack's weight slices must stay fused
+            # XLA reads, not Pallas custom-call operands (ops/common)
+            with scanned_weights():
+                (x, *_), (k_news, v_news, s_new) = \
+                    self.blocks_stack.scan_decode(
+                        (x, cur_len, k_view, v_view, ks, vs),
+                        (s_all, layer_ix))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []
@@ -916,8 +925,9 @@ class RQTransformer(nn.Module):
 
     def _spatial_prefill_fp(self, x, k_all, v_all, s_all):
         if self.scan_layers:
-            x, (k_all, v_all, s_new) = self.spatial_stack.scan_prefill(
-                x, (k_all, v_all))
+            with scanned_weights():
+                x, (k_all, v_all, s_new) = self.spatial_stack.scan_prefill(
+                    x, (k_all, v_all))
             s_all = s_new.astype(s_all.dtype)
         else:
             for i, block in enumerate(self.spatial_transformer):
@@ -949,9 +959,11 @@ class RQTransformer(nn.Module):
         # GPT._stack_decode for the copy-per-token measurement
         if self.scan_layers:
             layer_ix = jnp.arange(self.spatial_n_layers, dtype=jnp.int32)
-            (x, *_), (k_news, v_news, s_new) = \
-                self.spatial_stack.scan_decode(
-                    (x, cur_len, k_all, v_all, ks, vs), (s_all, layer_ix))
+            with scanned_weights():
+                (x, *_), (k_news, v_news, s_new) = \
+                    self.spatial_stack.scan_decode(
+                        (x, cur_len, k_all, v_all, ks, vs),
+                        (s_all, layer_ix))
             s_all = s_new.astype(s_all.dtype)
         else:
             k_cols, v_cols, s_cols = [], [], []

@@ -49,6 +49,39 @@ class force_xla_ops:
         return False
 
 
+_SCANNED_WEIGHTS_DEPTH = 0
+
+
+class scanned_weights:
+    """Trace-time context: the region is a scan-over-layers body whose WEIGHT
+    operands are dynamic slices of stacked (L, ...) arrays.
+
+    Pallas custom calls force XLA to MATERIALIZE such a slice — a full copy
+    of that layer's weight tile per scan step (per token in decode), the
+    weight-side twin of the stacked-KV-cache rule in ops/cache.py. Plain XLA
+    dots fuse the slice into the operand read instead. Weight-consuming ops
+    (ops/int8) consult this to default to their XLA impl here: measured on
+    the 24L flagship int8 decode, 86 -> 184 tok/s (251 -> 536 GB/s) from
+    this routing alone. Ops whose sliced operands the kernel itself indexes
+    (decode_attention_stacked's BlockSpec layer select) are NOT affected —
+    they take the stack whole.
+    """
+
+    def __enter__(self):
+        global _SCANNED_WEIGHTS_DEPTH
+        _SCANNED_WEIGHTS_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _SCANNED_WEIGHTS_DEPTH
+        _SCANNED_WEIGHTS_DEPTH -= 1
+        return False
+
+
+def in_scanned_weights() -> bool:
+    return _SCANNED_WEIGHTS_DEPTH > 0
+
+
 def use_pallas(impl: str | None) -> bool:
     """Resolve an ``impl`` argument ('auto' | 'pallas' | 'xla') to a decision."""
     if _FORCE_XLA_DEPTH > 0:

@@ -22,13 +22,14 @@ differentiated.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cdiv, interpret_mode, use_pallas
+from .common import cdiv, in_scanned_weights, interpret_mode, use_pallas
 from .ln_gemm import _act, layernorm_xla
 from .partition import partitioned
 
@@ -171,6 +172,24 @@ def _int8_blocks(m, d, n, itemsize):
     return block_m, block_n
 
 
+def _resolve_impl(impl):
+    """'auto' resolution order (trace time; explicit impl= args win):
+    1. ENHANCING_TPU_INT8_IMPL env override (A/B experiments);
+    2. inside a ``scanned_weights()`` region -> 'xla': Pallas custom calls
+       force XLA to MATERIALIZE each layer's dynamic-sliced weight operand
+       — a per-layer per-token copy of the whole weight tile; plain XLA
+       dots let the slice fuse instead (measured 2.14x on the 24L flagship
+       int8 decode — see ops/common.scanned_weights);
+    3. 'auto' (Pallas on TPU when the shape gates pass)."""
+    if impl in (None, "auto"):
+        env = os.environ.get("ENHANCING_TPU_INT8_IMPL")
+        if env:
+            return env
+        if in_scanned_weights():
+            return "xla"
+    return impl
+
+
 def _int8_supported(m, d, n, dtype):
     return (m >= 1 and d % 128 == 0 and n % 128 == 0
             and dtype in (jnp.bfloat16, jnp.float32))
@@ -257,6 +276,7 @@ def int8_gemm(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     ``w8a8``: also dynamically int8-quantize x per row and run the dot on
     the MXU's native int8 path (see _w8a8_dot) — the big-dim decode mode.
     """
+    impl = _resolve_impl(impl)
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -392,6 +412,7 @@ def int8_ln_gemm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     int8 weight tile + per-channel rescale of the output. ``w8a8``: int8
     activations + native int8 MXU dot (see _w8a8_dot).
     """
+    impl = _resolve_impl(impl)
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -558,6 +579,7 @@ def int8_mlp_decode(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     """residual + ((act((LN(x) @ w0_q)*s0 + b0)) @ w1_q)*s1 + b1 — the whole
     pre-norm MLP as ONE kernel over int8 weights (see module comment).
     ``w8a8``: int8 activations + native int8 MXU dots (see _w8a8_dot)."""
+    impl = _resolve_impl(impl)
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)

@@ -48,15 +48,19 @@ def main():
     from enhancing_tpu.ops import int8 as q8
     from enhancing_tpu.utils.bench_log import record
 
-    def timed_scan(fn, x0, n):
+    def timed_scan(fn, x0, n, extras=()):
         """Median per-iter time of fn chained n times inside one program,
         with the program-entry/dispatch cost subtracted via a 2n-length
-        run (same executable family, same transfer)."""
+        run (same executable family, same transfer).
+
+        ``extras``: big operands (weights, caches) threaded as jit ARGS —
+        closing over them bakes them into the HLO as constants, which the
+        relay rejects (HTTP 413) past ~100MB."""
         def loop(length):
             @jax.jit
-            def run(x):
+            def run(x, *ops):
                 def body(c, _):
-                    y = fn(c)
+                    y = fn(c, *ops)
                     # fold the output back so iterations serialize
                     return (c + jnp.sum(y[:1, :8]).astype(c.dtype)
                             * jnp.asarray(1e-12, c.dtype)), None
@@ -66,14 +70,14 @@ def main():
 
         run_n, run_2n = loop(n), loop(2 * n)
         for r in (run_n, run_2n):
-            float(jnp.sum(r(x0).astype(jnp.float32)))  # compile + warm
+            float(jnp.sum(r(x0, *extras).astype(jnp.float32)))  # compile
         ts = []
         for t in range(3):
             xt = x0 + jnp.asarray(t * 1e-6, x0.dtype)
             t0 = time.perf_counter()
-            float(jnp.sum(run_n(xt).astype(jnp.float32)))
+            float(jnp.sum(run_n(xt, *extras).astype(jnp.float32)))
             t1 = time.perf_counter()
-            float(jnp.sum(run_2n(xt).astype(jnp.float32)))
+            float(jnp.sum(run_2n(xt, *extras).astype(jnp.float32)))
             t2 = time.perf_counter()
             ts.append(((t2 - t1) - (t1 - t0)) / n)
         return statistics.median(ts)
@@ -167,22 +171,22 @@ def bench_ops(args, timed_scan, record):
         cur = jnp.int32(512)
 
         def op_qkv(impl, w8a8=False):
-            def f(c):
-                o, _ = q8.int8_ln_gemm(c, g, bt, tm, prev, wq_qkv, s_qkv,
+            def f(c, w, s):
+                o, _ = q8.int8_ln_gemm(c, g, bt, tm, prev, w, s,
                                        None, w8a8=w8a8, impl=impl)
                 return o
             return f
 
         def op_proj(impl, w8a8=False):
-            return lambda c: q8.int8_gemm(
-                c[..., :d], wq_pr, s_pr, None, w8a8=w8a8, impl=impl)
+            return lambda c, w, s: q8.int8_gemm(
+                c[..., :d], w, s, None, w8a8=w8a8, impl=impl)
 
         def op_mlp(impl, w8a8=False):
-            return lambda c: q8.int8_mlp_decode(
-                c, g, bt, wq0, s0, None, wq1, s1, None, residual=c,
+            return lambda c, a0, c0, a1, c1: q8.int8_mlp_decode(
+                c, g, bt, a0, c0, None, a1, c1, None, residual=c,
                 activation="sqrelu", w8a8=w8a8, impl=impl)
 
-        def op_attn(c):
+        def op_attn(c, kq, vq, ksc, vsc):
             # sum over a mini layer walk like the scan body does
             y = decode_attention_stacked(
                 c[:, 0, :], kq, vq, c[:, 0, :], c[:, 0, :],
@@ -191,19 +195,20 @@ def bench_ops(args, timed_scan, record):
             return y[:, None, :]
 
         cases = [
-            ("qkv xla", op_qkv("xla"), d * 3 * d),
-            ("qkv w8a8", op_qkv("xla", True), d * 3 * d),
-            ("proj xla", op_proj("xla"), d * d),
-            ("proj pallas", op_proj("pallas"), d * d),
-            ("proj w8a8", op_proj("xla", True), d * d),
-            ("mlp xla", op_mlp("xla"), 2 * d * h),
-            ("mlp pallas", op_mlp("pallas"), 2 * d * h),
-            ("mlp w8a8", op_mlp("xla", True), 2 * d * h),
-            ("attn int8kv L-slice", op_attn, 2 * 512 * d),
+            ("qkv xla", op_qkv("xla"), d * 3 * d, (wq_qkv, s_qkv)),
+            ("qkv w8a8", op_qkv("xla", True), d * 3 * d, (wq_qkv, s_qkv)),
+            ("proj xla", op_proj("xla"), d * d, (wq_pr, s_pr)),
+            ("proj pallas", op_proj("pallas"), d * d, (wq_pr, s_pr)),
+            ("proj w8a8", op_proj("xla", True), d * d, (wq_pr, s_pr)),
+            ("mlp xla", op_mlp("xla"), 2 * d * h, (wq0, s0, wq1, s1)),
+            ("mlp pallas", op_mlp("pallas"), 2 * d * h, (wq0, s0, wq1, s1)),
+            ("mlp w8a8", op_mlp("xla", True), 2 * d * h, (wq0, s0, wq1, s1)),
+            ("attn int8kv L-slice", op_attn, 2 * 512 * d,
+             (kq, vq, ksc, vsc)),
         ]
-        for name, fn, bytes_r in cases:
+        for name, fn, bytes_r, extras in cases:
             try:
-                t = timed_scan(fn, x, args.iters // 4)
+                t = timed_scan(fn, x, args.iters // 4, extras)
             except Exception as e:
                 print(f"[op m{m} {name}] FAILED {type(e).__name__}: "
                       f"{str(e)[:90]}", flush=True)

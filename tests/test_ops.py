@@ -732,6 +732,29 @@ def test_int8_ln_gemm_pallas_matches_xla(rng):
                                atol=2e-5)
 
 
+def test_int8_impl_resolution_scanned_weights():
+    """Inside a scanned_weights() region 'auto' resolves to the XLA impl
+    (Pallas custom calls force per-layer weight-slice materialization in a
+    scan-over-layers body); explicit impl= args and the env override win."""
+    import os
+
+    from enhancing_tpu.ops import int8 as q8
+    from enhancing_tpu.ops.common import scanned_weights
+
+    assert q8._resolve_impl("auto") == "auto"
+    assert q8._resolve_impl("pallas") == "pallas"
+    with scanned_weights():
+        assert q8._resolve_impl("auto") == "xla"
+        assert q8._resolve_impl(None) == "xla"
+        assert q8._resolve_impl("pallas") == "pallas"  # explicit wins
+        os.environ["ENHANCING_TPU_INT8_IMPL"] = "pallas"
+        try:
+            assert q8._resolve_impl("auto") == "pallas"  # env wins
+        finally:
+            del os.environ["ENHANCING_TPU_INT8_IMPL"]
+    assert q8._resolve_impl("auto") == "auto"
+
+
 def test_w8a8_gemm_exactness(rng):
     """w8a8=True is EXACTLY quantize-rows -> int8 dot -> rescale (the int8
     dot accumulates losslessly in int32), and tracks the f32 GEMM within
