@@ -608,18 +608,34 @@ class GPT(nn.Module):
     def _stack_prefill(self, x, cache):
         """Run all layers' prefill; returns (x, new cache).
 
-        With ``kv_int8`` the prefill runs against transient full-precision
-        buffers (one sequence's worth, freed immediately) and the filled
-        rows are quantized into the int8 cache afterwards."""
+        With ``kv_int8`` the prefill runs against a transient full-precision
+        buffer sized to the PREFIX (rows the prefill actually writes, padded
+        to a sublane multiple), and the quantized rows merge into the full
+        int8 cache. A full-ctx bf16 temp here costs 2 x (L, B, ctx, C)
+        bf16 live next to the weights — at the 24L flagship that is 5.4 GB
+        at b8, the difference between fitting 16 GB HBM and OOM (the
+        dynamic_update_slice merge is a one-time copy amortized over the
+        whole decode; the per-token write ban in ops/cache.py still
+        holds)."""
         if self.kv_int8:
-            tmp = {"k": jnp.zeros(cache["k"].shape, self.dtype),
-                   "v": jnp.zeros(cache["v"].shape, self.dtype),
+            t = x.shape[1]
+            tpad = min(-(-t // 8) * 8, cache["k"].shape[2])
+            small = cache["k"].shape[:2] + (tpad,) + cache["k"].shape[3:]
+            tmp = {"k": jnp.zeros(small, self.dtype),
+                   "v": jnp.zeros(small, self.dtype),
                    "shift": cache["shift"]}
             x, tmp = self._stack_prefill_fp(x, tmp)
             k_q, k_sc = self._quant_rows(tmp["k"])
             v_q, v_sc = self._quant_rows(tmp["v"])
-            return x, {"k": k_q, "v": v_q, "k_scale": k_sc, "v_scale": v_sc,
-                       "shift": tmp["shift"]}
+            zero = (0, 0, 0)
+            return x, {
+                "k": jax.lax.dynamic_update_slice(cache["k"], k_q, zero + (0,)),
+                "v": jax.lax.dynamic_update_slice(cache["v"], v_q, zero + (0,)),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    cache["k_scale"], k_sc, zero),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    cache["v_scale"], v_sc, zero),
+                "shift": tmp["shift"]}
         return self._stack_prefill_fp(x, cache)
 
     def _stack_prefill_fp(self, x, cache):
@@ -912,14 +928,29 @@ class RQTransformer(nn.Module):
         conds = conds.reshape(conds.shape[0], -1)
         x = self.tok_emb_cond(conds) + self.pos_emb_cond.astype(self.dtype)
         if self.kv_int8:
-            tmp_k = jnp.zeros(cache["k"].shape, self.dtype)
-            tmp_v = jnp.zeros(cache["v"].shape, self.dtype)
+            # prefix-sized fp temp, merged into the full int8 cache — a
+            # full-ctx bf16 temp doubles cache HBM during prefill (see
+            # GPT._stack_prefill)
+            t = x.shape[1]
+            tpad = min(-(-t // 8) * 8, cache["k"].shape[2])
+            small = cache["k"].shape[:2] + (tpad,) + cache["k"].shape[3:]
+            tmp_k = jnp.zeros(small, self.dtype)
+            tmp_v = jnp.zeros(small, self.dtype)
             hidden, fp = self._spatial_prefill_fp(
                 x, tmp_k, tmp_v, cache["shift"])
             k_q, k_sc = GPT._quant_rows(fp["k"])
             v_q, v_sc = GPT._quant_rows(fp["v"])
-            return hidden, {"k": k_q, "v": v_q, "k_scale": k_sc,
-                            "v_scale": v_sc, "shift": fp["shift"]}
+            zero = (0, 0, 0)
+            return hidden, {
+                "k": jax.lax.dynamic_update_slice(cache["k"], k_q,
+                                                  zero + (0,)),
+                "v": jax.lax.dynamic_update_slice(cache["v"], v_q,
+                                                  zero + (0,)),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    cache["k_scale"], k_sc, zero),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    cache["v_scale"], v_sc, zero),
+                "shift": fp["shift"]}
         return self._spatial_prefill_fp(x, cache["k"], cache["v"],
                                         cache["shift"])
 

@@ -1342,8 +1342,11 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, *rest,
                    block_k: int, head_dim: int,
                    n_heads: int, block_b: int, nb: int,
                    quantized: bool = False):
-    """Grid (B/block_b, chunks): each program owns a (block_b, block_k, H*D)
-    cache tile. Heads are handled in ONE matmul per row per chunk by scoring
+    """Grid (B/block_b, head_splits, chunks): each program owns a
+    (block_b, block_k, heads_slab*D) cache tile — the head axis splits hd
+    into independent slabs when a whole-hd tile would blow the 16MB scoped
+    VMEM limit (see _decode_blocks). Heads are handled in ONE matmul per
+    row per chunk by scoring
     with a block-diagonal masked-q matrix: row h of (H, HD) keeps only head
     h's lanes of q, so (H, HD) @ (HD, block_k) contracts to the (H, block_k)
     per-head score matrix (the zeroed lanes contribute nothing). Online
@@ -1372,8 +1375,10 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, *rest,
     else:
         o_ref, m_acc, l_acc, o_acc = rest
     ib = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+    # axis 1 is the head-split (blocks pre-sliced by the index maps —
+    # n_heads/head_mask here are already per-slab); axis 2 walks key chunks
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
     hd_total = q_ref.shape[-1]
     lane_head = jax.lax.broadcasted_iota(
         jnp.int32, (n_heads, hd_total), 1) // head_dim
@@ -1441,39 +1446,59 @@ def _decode_kernel(sc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, *rest,
 
 
 def _decode_blocks(b: int, m: int, hd: int, block_k: int,
-                   itemsize: int = 2, sublane8: bool = False
-                   ) -> tuple[int, int]:
-    """(block_b, block_k) minimizing grid steps: the most batch rows per
-    program whose k+v tiles (double-buffered) stay ~8MB of VMEM — a smaller
-    key chunk is worth it when it buys more rows per program (256KB-scale
-    DMAs already run at full stride efficiency; grid-step count is the
-    overhead that dominated the per-row kernel). Prefers divisors of b so
-    no program carries padded rows.
+                   itemsize: int = 2, sublane8: bool = False,
+                   n_heads: int = 1, head_dim: int | None = None
+                   ) -> tuple[int, int, int]:
+    """(block_b, block_k, n_head_splits) minimizing grid steps: the most
+    batch rows per program whose per-program VMEM fits the compiler's 16MB
+    scoped limit — a smaller key chunk is worth it when it buys more rows
+    per program (256KB-scale DMAs already run at full stride efficiency;
+    grid-step count is the overhead that dominated the per-row kernel).
+    Prefers divisors of b so no program carries padded rows.
+
+    VMEM model (the terms that scale with the block): double-buffered k+v
+    tiles (2 * 2 * block_k * hd_slab * itemsize * block_b) plus the f32
+    online-softmax output accumulator (block_b * heads_slab * hd_slab * 4).
+    14.5MB leaves headroom for q/kn/vn/out blocks and Mosaic stack inside
+    the 16MB limit (measured at flagship hd 6144 int8: (8 rows x 128 keys)
+    whole-hd is 25.2MB of k+v and fails to compile; (4 x 128) = 14.2MB
+    total compiles — the b4 184 tok/s row).
+
+    ``n_head_splits`` (nh): heads are independent, so when whole-hd tiles
+    cannot fit (big-hd x big-b: flagship 6144d at b>=8) the grid gains a
+    head axis — each program owns heads_slab = n_heads/nh heads and the
+    (block_k, hd/nh) k+v slab feeding them; total cache DMA is unchanged
+    (every lane still read once per step). Slabs stay 128-lane multiples.
 
     ``sublane8``: restrict block_b to multiples of 8 (or b itself) — the
     quantized path's (1, block_b, block_k) f32 scale blocks put block_b on
-    the sublane axis, where Mosaic requires 8-multiples or the full dim."""
-    budget = 8 * 1024 * 1024
+    the sublane axis, where Mosaic requires 8-multiples or the full dim
+    (block_k likewise stays >= 128 there for the lane axis)."""
+    limit = int(14.5 * 1024 * 1024)
+    head_dim = head_dim or hd
     best_steps = None
     best = None
-    for bk in (block_k, 128):
-        bk = min(bk, m)
-        per_row = 2 * 2 * bk * hd * itemsize    # k+v, double-buffered
-        cap = max(1, budget // max(per_row, 1))
-        bb = None
-        for cand in range(1, min(b, cap) + 1):
-            if b % cand == 0 and (not sublane8 or cand % 8 == 0
-                                  or cand == b):
-                bb = cand
-        if bb is None:
-            continue
-        steps = cdiv(b, bb) * cdiv(m, bk)
-        if best_steps is None or steps < best_steps:
-            best, best_steps = (bb, bk), steps
+    nh_cands = [x for x in (1, 2, 4, 8, 16)
+                if x <= n_heads and n_heads % x == 0
+                and (n_heads // x) * head_dim % 128 == 0] or [1]
+    for nh in nh_cands:
+        hd_slab = (n_heads // nh) * head_dim if nh > 1 else hd
+        for bk in dict.fromkeys((min(block_k, m), min(128, m))):
+            for cand in range(b, 0, -1):
+                if b % cand or (sublane8 and cand % 8 and cand != b):
+                    continue
+                kv = 2 * 2 * bk * hd_slab * itemsize * cand
+                acc = cand * max(n_heads // nh, 1) * hd_slab * 4
+                if kv + acc > limit:
+                    continue
+                steps = cdiv(b, cand) * nh * cdiv(m, bk)
+                if best_steps is None or steps < best_steps:
+                    best, best_steps = (cand, bk, nh), steps
+                break  # largest feasible block_b for this (nh, bk)
     if best is None:
-        # no budget-respecting block found (deep hd, sublane8 small-b):
-        # whole-batch rows with the small chunk still fit v5e's 128MB VMEM
-        best = (b, min(128, m))
+        # nothing fits even at max head split: smallest legal block —
+        # correctness over throughput
+        best = (b if sublane8 else 1, min(128, m), max(nh_cands))
     return best
 
 
@@ -1495,9 +1520,13 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
     quantized = ks is not None
     lnum, b, m, hd = kc.shape
     n_heads = hd // head_dim
-    block_b, block_k = _decode_blocks(b, m, hd, block_k,
-                                      itemsize=kc.dtype.itemsize,
-                                      sublane8=quantized)
+    block_b, block_k, nh = _decode_blocks(b, m, hd, block_k,
+                                          itemsize=kc.dtype.itemsize,
+                                          sublane8=quantized,
+                                          n_heads=n_heads,
+                                          head_dim=head_dim)
+    heads_slab = n_heads // nh
+    hd_slab = heads_slab * head_dim
     nj = cdiv(m, block_k)
     nb = cdiv(b, block_b)
     # prefetch layout: [layer] ++ per-block chunk bound ++ per-row cur
@@ -1509,28 +1538,31 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
     sc = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                           blockmax, cur_vec])
 
-    def kv_index(i, j, sc_ref):
+    def kv_index(i, h, j, sc_ref):
         # index maps receive (grid indices..., scalar-prefetch refs...);
         # chunks past the block's filled prefix clamp to its last valid
         # chunk, so consecutive grid steps map to the same block and the
         # DMA is elided
         last_valid = jnp.maximum(sc_ref[1 + i] - 1, 0) // block_k
-        return (sc_ref[0], i, jnp.minimum(j, last_valid), 0)
+        return (sc_ref[0], i, jnp.minimum(j, last_valid), h)
 
-    def scale_index(i, j, sc_ref):
+    def scale_index(i, h, j, sc_ref):
         last_valid = jnp.maximum(sc_ref[1 + i] - 1, 0) // block_k
         return (sc_ref[0], i, jnp.minimum(j, last_valid))
 
+    def row_index(i, h, j, sc_ref):
+        return (i, 0, h)
+
     in_specs = [
-        pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
+        pl.BlockSpec((block_b, 1, hd_slab), row_index,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
+        pl.BlockSpec((block_b, 1, hd_slab), row_index,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_b, 1, hd), lambda i, j, sc_ref: (i, 0, 0),
+        pl.BlockSpec((block_b, 1, hd_slab), row_index,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_b, block_k, hd), kv_index,
+        pl.BlockSpec((1, block_b, block_k, hd_slab), kv_index,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_b, block_k, hd), kv_index,
+        pl.BlockSpec((1, block_b, block_k, hd_slab), kv_index,
                      memory_space=pltpu.VMEM),
     ]
     args = [sc, q3[:, None, :], kn[:, None, :], vn[:, None, :], kc, vc]
@@ -1544,20 +1576,21 @@ def _decode_pallas(q3, kc, vc, kn, vn, cur_len, head_dim, block_k=256,
         args += [ks, vs]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(cdiv(b, block_b), nj),
+        # j innermost: the online-softmax accumulators integrate over key
+        # chunks per (rows, head-slab) before the flush
+        grid=(nb, nh, nj),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, 1, hd),
-                               lambda i, j, sc_ref: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, 1, hd_slab), row_index,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block_b * n_heads, 1), jnp.float32),
-            pltpu.VMEM((block_b * n_heads, 1), jnp.float32),
-            pltpu.VMEM((block_b * n_heads, hd), jnp.float32),
+            pltpu.VMEM((block_b * heads_slab, 1), jnp.float32),
+            pltpu.VMEM((block_b * heads_slab, 1), jnp.float32),
+            pltpu.VMEM((block_b * heads_slab, hd_slab), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_decode_kernel, block_k=block_k, head_dim=head_dim,
-                          n_heads=n_heads, block_b=block_b, nb=nb,
+                          n_heads=heads_slab, block_b=block_b, nb=nb,
                           quantized=quantized),
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q3.dtype),
         grid_spec=grid_spec,

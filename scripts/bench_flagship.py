@@ -167,12 +167,14 @@ def bench_train(n_layers=2):
     return t
 
 
-def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False):
+def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False,
+                 act_int8=False):
     """Flagship-dim (6144d, D=384) KV-cache decode at the deepest slice whose
     params + cache fit one chip; reports tok/s and HBM GB/s. ``int8``:
     weights-only int8 serving (quantize_decode_params) — halves param bytes,
     so DEEPER slices fit (the full 24L config at ~11 GB int8); ``kv_int8``:
-    int8 KV cache."""
+    int8 KV cache; ``act_int8``: W8A8 (int8 activations, native int8 MXU
+    dots)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -184,7 +186,8 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False):
 
     m = GPT(vocab_cond_size=1000, vocab_img_size=8192, embed_dim=6144,
             cond_num_tokens=1, img_num_tokens=1024, n_heads=16,
-            n_layers=n_layers, dtype=jnp.bfloat16, kv_int8=kv_int8)
+            n_layers=n_layers, dtype=jnp.bfloat16, kv_int8=kv_int8,
+            act_int8=act_int8)
     conds = jnp.zeros((batch, 1), jnp.int32)
 
     if int8:
@@ -233,7 +236,8 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False):
     w_bytes = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(
         {k: v for k, v in vs.items() if k in ("params", "quant")}))
 
-    tag = f"{'int8w ' if int8 else ''}{'int8kv ' if kv_int8 else ''}"
+    tag = (f"{'int8w ' if int8 else ''}{'int8kv ' if kv_int8 else ''}"
+           f"{'w8a8 ' if act_int8 else ''}")
     t0 = time.perf_counter()
     _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
     _ = np.asarray(out)
@@ -257,7 +261,7 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False):
           f"-> {tok_s:.0f} tok/s @ b{batch}; ~{traffic/dt/1e9:.0f} GB/s "
           f"of ~819 GB/s HBM roofline")
     record("flagship_decode", tok_s, "tok/s", layers=n_layers, batch=batch,
-           int8=int8, kv_int8=kv_int8,
+           int8=int8, kv_int8=kv_int8, act_int8=act_int8,
            gbs=round(traffic / dt / 1e9, 1))
     return dt
 
@@ -349,6 +353,8 @@ def main():
                     help="weights-only int8 decode (bf16 kernels dropped)")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache for the decode part")
+    ap.add_argument("--act_int8", action="store_true",
+                    help="W8A8 decode (int8 activations, int8 MXU dots)")
     args = ap.parse_args()
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
@@ -364,7 +370,8 @@ def main():
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
     if args.part in ("all", "decode"):
         bench_decode(args.layers or 8, batch=args.batch,
-                     int8=args.int8, kv_int8=args.kv_int8)
+                     int8=args.int8, kv_int8=args.kv_int8,
+                     act_int8=args.act_int8)
     if args.part in ("all", "rq"):
         bench_rq()
     if args.part == "rqsample":

@@ -590,6 +590,38 @@ def test_decode_attention_batched_blocks(rng, b):
                                    atol=3e-5, rtol=1e-4)
 
 
+def test_decode_attention_head_split(rng):
+    """Head-split decode grid (nh > 1: each program owns a head slab and
+    its hd/nh cache lanes) == dequant-XLA ref — the per-slab online softmax
+    must not mix head slabs, and the out blocks must tile hd exactly.
+
+    The quantized path forces the split: its scale blocks pin block_b to
+    8-multiples (sublane) and block_k to >= 128 (lane), so at b8 x hd4096
+    no whole-hd tile fits the VMEM model and _decode_blocks must split
+    heads — the flagship (6144d) b>=8 int8-serving shape in miniature."""
+    from enhancing_tpu.ops.attention import _decode_blocks
+    L, b, m, hd, head_dim = 2, 8, 256, 4096, 512
+    bb, bk, nh = _decode_blocks(b, m, hd, 256, itemsize=1, sublane8=True,
+                                n_heads=hd // head_dim, head_dim=head_dim)
+    assert nh > 1 and bb == b, (bb, bk, nh)
+    kq = jnp.asarray(rng.integers(-127, 128, (L, b, m, hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (L, b, m, hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, b, m)) * 0.05 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.random((L, b, m)) * 0.05 + 1e-3, jnp.float32)
+    q3 = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hd)), jnp.float32)
+    for cur in (jnp.int32(37),
+                jnp.asarray(rng.integers(1, m, (b,)), jnp.int32)):
+        out = att._decode_pallas(q3, kq, vq, kn, vn, cur, head_dim,
+                                 layer=jnp.int32(1), ks=ks, vs=vs)
+        k_deq, v_deq = att._dequant_cache(kq[1], vq[1], ks[1], vs[1],
+                                          jnp.float32)
+        ref = att._decode_xla(q3, k_deq, v_deq, kn, vn, cur, head_dim)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_decode_attention_stacked_layer_indexing(rng):
     """Stacked-cache decode == per-layer 3D decode for every layer index
     (the BlockSpec index map must pick exactly layer l's chunks)."""
