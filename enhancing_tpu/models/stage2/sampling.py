@@ -49,14 +49,19 @@ def _draw(rng: jax.Array, logits: jax.Array, temperature: float,
 
 
 @functools.partial(jax.jit, static_argnames=("module", "top_k", "top_p",
-                                             "temperature"))
+                                             "temperature", "with_logits"))
 def sample_gpt(module, variables: Dict[str, Any], conds: jax.Array,
                rng: jax.Array, *, top_k: Optional[int] = None,
-               top_p: Optional[float] = None, temperature: float = 1.0
-               ) -> Tuple[jax.Array, jax.Array]:
+               top_p: Optional[float] = None, temperature: float = 1.0,
+               with_logits: bool = True
+               ) -> Tuple[Optional[jax.Array], jax.Array]:
     """Sample ``img_num_tokens`` codes from a GPT prior.
 
     Returns (logits (B, T, V) fp32, codes (B, T) int32).
+
+    ``with_logits=False`` returns (None, codes) and drops the stacked
+    per-step logits from the decode scan — (B, T, V) f32 is 537 MB at the
+    flagship dims b16, the margin between fitting one chip and OOM.
     """
     b = conds.shape[0]
     cache = module.apply(variables, b, method="init_cache")
@@ -70,7 +75,8 @@ def sample_gpt(module, variables: Dict[str, Any], conds: jax.Array,
         logits, cache = module.apply(variables, tok, step, cache,
                                      method="decode_step")
         nxt = _draw(sub, logits, temperature, top_k, top_p)
-        return (nxt, cache, rng), (logits.astype(jnp.float32), nxt)
+        ys = (logits.astype(jnp.float32), nxt) if with_logits else (nxt,)
+        return (nxt, cache, rng), ys
 
     # Cache reads are prefix-aware at the kernel level: decode_step
     # dispatches to ops/attention.decode_attention, whose Pallas kernel
@@ -79,9 +85,12 @@ def sample_gpt(module, variables: Dict[str, Any], conds: jax.Array,
     # full-buffer XLA read and 2.2k for an XLA-level bucketing attempt
     # (slicing the scan carry copies the window every step).
     steps = jnp.arange(1, module.img_num_tokens)
-    (_, _, _), (logits_rest, toks_rest) = jax.lax.scan(
-        body, (tok0, cache, rng), steps)
+    (_, _, _), ys = jax.lax.scan(body, (tok0, cache, rng), steps)
 
+    if not with_logits:
+        (toks_rest,) = ys
+        return None, jnp.concatenate([tok0[None], toks_rest], axis=0).T
+    logits_rest, toks_rest = ys
     codes = jnp.concatenate([tok0[None], toks_rest], axis=0).T  # (B, T)
     logits = jnp.concatenate(
         [logits0.astype(jnp.float32)[None], logits_rest], axis=0)
@@ -90,12 +99,15 @@ def sample_gpt(module, variables: Dict[str, Any], conds: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("module", "top_k", "top_p",
-                                             "temperature"))
+                                             "temperature", "with_logits"))
 def sample_rq(module, variables: Dict[str, Any], conds: jax.Array,
               rng: jax.Array, *, top_k: Optional[int] = None,
-              top_p: Optional[float] = None, temperature: float = 1.0
-              ) -> Tuple[jax.Array, jax.Array]:
-    """Sample (B, T, D) residual codes from an RQTransformer prior."""
+              top_p: Optional[float] = None, temperature: float = 1.0,
+              with_logits: bool = True
+              ) -> Tuple[Optional[jax.Array], jax.Array]:
+    """Sample (B, T, D) residual codes from an RQTransformer prior.
+
+    ``with_logits=False`` returns (None, codes) — see sample_gpt."""
     b = conds.shape[0]
     dmax = module.depth_num_tokens
     cache = module.apply(variables, b, method="init_cache")
@@ -111,11 +123,14 @@ def sample_rq(module, variables: Dict[str, Any], conds: jax.Array,
                                   method="depth_forward")
             tok = _draw(sub, logits, temperature, top_k, top_p)
             codes = jax.lax.dynamic_update_index_in_dim(codes, tok, d, axis=1)
-            return (codes, rng), logits.astype(jnp.float32)
+            return (codes, rng), (logits.astype(jnp.float32)
+                                  if with_logits else jnp.zeros((), rng.dtype))
 
         codes0 = jnp.zeros((b, dmax), jnp.int32)
         (codes, _), logits = jax.lax.scan(body, (codes0, rng),
                                           jnp.arange(dmax))
+        if not with_logits:
+            return codes, logits
         return codes, jnp.transpose(logits, (1, 0, 2))  # (B, D, V)
 
     rng, sub = jax.random.split(rng)
@@ -135,6 +150,8 @@ def sample_rq(module, variables: Dict[str, Any], conds: jax.Array,
 
     codes = jnp.concatenate([codes0[None], codes_rest], axis=0)   # (T, B, D)
     codes = jnp.transpose(codes, (1, 0, 2))                       # (B, T, D)
+    if not with_logits:
+        return None, codes
     logits = jnp.concatenate([logits0[None], logits_rest], axis=0)
     logits = jnp.transpose(logits, (1, 0, 2, 3))                  # (B, T, D, V)
     return logits.reshape(b * module.img_num_tokens, dmax, -1), codes

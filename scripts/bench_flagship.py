@@ -239,7 +239,8 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False,
     tag = (f"{'int8w ' if int8 else ''}{'int8kv ' if kv_int8 else ''}"
            f"{'w8a8 ' if act_int8 else ''}")
     t0 = time.perf_counter()
-    _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
+    _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100,
+                        with_logits=False)
     _ = np.asarray(out)
     print(f"[gpt-6144d decode {tag}{n_layers}L] compile+first "
           f"{time.perf_counter()-t0:.0f}s, weights {w_bytes/1e9:.1f} GB")
@@ -248,7 +249,7 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False,
     for i in range(3):
         t0 = time.perf_counter()
         _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(1 + i),
-                            top_k=100)
+                            top_k=100, with_logits=False)
         _ = np.asarray(out)
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)

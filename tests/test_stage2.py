@@ -357,6 +357,40 @@ def test_dropped_kernel_int8_serving():
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_sample_without_logits():
+    """with_logits=False: identical codes, None logits — drops the stacked
+    (B, T, V) f32 logits from the decode scan (537 MB at flagship b16, the
+    margin between one-chip fit and OOM)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhancing_tpu.models.stage2 import (GPT, RQTransformer, sample_gpt,
+                                             sample_rq)
+
+    m = GPT(vocab_cond_size=10, vocab_img_size=64, embed_dim=64,
+            cond_num_tokens=1, img_num_tokens=8, n_heads=2, n_layers=2)
+    conds = jnp.zeros((2, 1), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8), jnp.int32), conds)
+    lg, c1 = sample_gpt(m, vs, conds, jax.random.PRNGKey(1), top_k=4)
+    none, c2 = sample_gpt(m, vs, conds, jax.random.PRNGKey(1), top_k=4,
+                          with_logits=False)
+    assert none is None and lg.shape == (2, 8, 64)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    rq = RQTransformer(vocab_cond_size=10, vocab_img_size=32, embed_dim=64,
+                       cond_num_tokens=1, img_num_tokens=4,
+                       depth_num_tokens=2, spatial_n_heads=2,
+                       depth_n_heads=2, spatial_n_layers=1, depth_n_layers=1)
+    vs2 = rq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2), jnp.int32),
+                  conds[:1])
+    lg, r1 = sample_rq(rq, vs2, conds, jax.random.PRNGKey(2), top_k=4)
+    none, r2 = sample_rq(rq, vs2, conds, jax.random.PRNGKey(2), top_k=4,
+                         with_logits=False)
+    assert none is None
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
 def test_w8a8_sampling():
     """act_int8=True (W8A8 serving: int8 activations + native int8 MXU
     dots): deterministic, shape-correct, and greedy codes mostly agree
