@@ -35,6 +35,14 @@ import numpy as np
 from .sampling import _draw
 
 
+def _host_async(x) -> None:
+    """Start the device->host copy without blocking (jax arrays only)."""
+    try:
+        jax.tree.map(lambda a: a.copy_to_host_async(), x)
+    except Exception:  # backend without async host copies: fall through
+        pass
+
+
 @functools.partial(jax.jit, donate_argnames=("cache",))
 def _scatter_slot(cache, cache1, slot):
     """Write a batch-1 cache into row ``slot`` of the pool cache, in place
@@ -63,7 +71,8 @@ class _SlotPool:
                  rng: jax.Array, *, temperature: float = 1.0,
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 mesh: Optional[jax.sharding.Mesh] = None) -> None:
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 pipeline: bool = False) -> None:
         self.module = module
         self.variables = variables
         self.num_slots = int(num_slots)
@@ -72,6 +81,17 @@ class _SlotPool:
         self._top_p = top_p
         self._rng = rng
         self.mesh = mesh
+        # pipeline=True overlaps host bookkeeping with device compute:
+        # step() ISSUES dispatch k+1 before fetching dispatch k's items, so
+        # the device runs scans back-to-back and the host<->device round
+        # trip (large on a network-attached chip) leaves the critical path.
+        # Correct because a row finishing mid-flight freezes ON DEVICE
+        # (steps clamps at the sequence length) — the stale active mask
+        # costs nothing; the only price is that a freed slot idles for one
+        # extra dispatch before its replacement's first decode. Completions
+        # therefore surface one step() call later than they finished.
+        self._pipeline = bool(pipeline)
+        self._pending: Optional[Tuple[Any, List[Optional[int]]]] = None
         self._cache = module.apply(variables, self.num_slots,
                                    method="init_cache")
         self._steps = jnp.zeros((self.num_slots,), jnp.int32)
@@ -125,7 +145,11 @@ class _SlotPool:
         rid = self._next_id
         self._next_id += 1
         self._slot_req[slot] = rid
-        self._results[rid] = [np.asarray(item0[0])]
+        # keep the seed item on device with an async host copy in flight —
+        # np.asarray here would stall admission on a host round trip;
+        # _process converts it once the request completes
+        _host_async(item0)
+        self._results[rid] = [item0[0]]
         return rid
 
     # -- decode -------------------------------------------------------------
@@ -139,23 +163,54 @@ class _SlotPool:
 
         Returns the requests that completed during this call as
         ``(request_id, codes)`` — (T,) int32 for GPT, (T, D) for RQ.
+
+        With ``pipeline=True`` the next dispatch is issued BEFORE the
+        previous dispatch's items are fetched, so completions surface one
+        ``step()`` call later than they were decoded (``flush()`` drains
+        the last in-flight dispatch without issuing a new one).
         """
+        prev = self._pending
+        self._pending = None
         active_host = np.array([r is not None for r in self._slot_req])
-        if not active_host.any():
+        if active_host.any():
+            self._rng, sub = jax.random.split(self._rng)
+            items = self._step_device(jnp.asarray(active_host), sub, int(n))
+            if self._pipeline:
+                _host_async(items)
+                self._pending = (items, list(self._slot_req))
+            else:
+                prev = (items, list(self._slot_req))
+        return self._process(prev)
+
+    def flush(self) -> List[Tuple[int, np.ndarray]]:
+        """Fetch the in-flight pipelined dispatch (if any) without issuing
+        a new one. No-op unless ``pipeline=True``."""
+        prev, self._pending = self._pending, None
+        return self._process(prev)
+
+    def _process(self, batch) -> List[Tuple[int, np.ndarray]]:
+        """Fold one dispatch's fetched items into per-request results.
+        ``batch`` carries the slot->request snapshot taken AT DISPATCH —
+        under pipelining ``self._slot_req`` may have moved on since."""
+        if batch is None:
             return []
-        self._rng, sub = jax.random.split(self._rng)
-        items = self._step_device(jnp.asarray(active_host), sub, int(n))
+        items, slot_req = batch
         items = np.asarray(items)                      # (n, B, ...)
         finished: List[Tuple[int, np.ndarray]] = []
         for t in range(items.shape[0]):
-            for slot, rid in enumerate(self._slot_req):
-                if rid is None:
+            for slot, rid in enumerate(slot_req):
+                # rid not in _results: completed in an earlier dispatch —
+                # these items are the on-device frozen repeats
+                if rid is None or rid not in self._results:
                     continue
                 seq = self._results[rid]
                 seq.append(items[t, slot])
                 if len(seq) == self.seq_len:
-                    finished.append((rid, np.stack(seq).astype(np.int32)))
-                    self._slot_req[slot] = None
+                    finished.append(
+                        (rid, np.stack([np.asarray(a) for a in seq])
+                         .astype(np.int32)))
+                    if self._slot_req[slot] == rid:
+                        self._slot_req[slot] = None
                     del self._results[rid]
         return finished
 
@@ -164,7 +219,8 @@ class _SlotPool:
         """Drain: step until every admitted request has completed."""
         out: List[Tuple[int, np.ndarray]] = []
         n = 0
-        while any(r is not None for r in self._slot_req):
+        while (any(r is not None for r in self._slot_req)
+               or self._pending is not None):
             out.extend(self.step())
             n += 1
             if max_steps is not None and n >= max_steps:

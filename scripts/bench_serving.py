@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--dim", type=int, default=1024)
     ap.add_argument("--int8", action="store_true",
                     help="weights-only int8 + int8 KV serving pool")
+    ap.add_argument("--only", choices=["all", "lockstep", "continuous"],
+                    default="all")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="pipelined batcher: dispatch k+1 issued before "
+                         "fetching k (hides the relay round trip)")
     args = ap.parse_args()
 
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
@@ -63,56 +68,75 @@ def main():
     dims = dict(slots=args.slots, dim=args.dim, layers=args.layers,
                 int8=args.int8)
 
-    # lockstep baseline at the same batch. Caveat: sample_gpt also
-    # stacks/transposes the full (B, T, V) f32 logits (~1 GB at these
-    # dims), which the batcher never computes — the lockstep number is
-    # correspondingly pessimistic; treat the comparison as indicative.
+    # lockstep baseline at the same batch; with_logits=False so the
+    # baseline, like the batcher, never stacks the (B, T, V) f32 logits —
+    # both sides produce codes only.
     conds = jnp.zeros((args.slots, 1), jnp.int32)
-    _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100)
+    if args.only in ("all", "lockstep"):
+        _run_lockstep(args, m, vs, conds, sample_gpt, np, jax, jnp, record,
+                      dims, T)
+    if args.only == "lockstep":
+        return
+
+    for n in args.dispatch:
+        _run_continuous(args, m, vs, n, jax, jnp, record, dims, T)
+
+
+def _run_lockstep(args, m, vs, conds, sample_gpt, np, jax, jnp, record,
+                  dims, T):
+    import time
+    _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100,
+                        with_logits=False)
     np.asarray(out)
     best = 1e9
     for i in range(2):
         t0 = time.time()
         _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(1 + i),
-                            top_k=100)
+                            top_k=100, with_logits=False)
         np.asarray(out)
         best = min(best, time.time() - t0)
     print(f"[lockstep b{args.slots}] {args.slots * T / best:.0f} tok/s",
           flush=True)
     record("serving_lockstep", args.slots * T / best, "tok/s", **dims)
 
-    for n in args.dispatch:
-        b = ContinuousGPTBatcher(m, vs, num_slots=args.slots,
-                                 rng=jax.random.PRNGKey(7), top_k=100)
-        for s in range(args.slots):
-            b.submit(jnp.asarray([s % 1000], jnp.int32))
-        # STAGGER: spread the slots across positions by stepping while
-        # re-admitting finished rows round-robin for one full sequence
-        warm_items = 0
-        t_end = None
-        t0 = None
-        produced = 0
-        # warmup until the first completion wave passes (compile + fill)
-        while warm_items < args.slots:
-            for rid, codes in b.step(n):
-                warm_items += 1
-                b.submit(jnp.asarray([rid % 1000], jnp.int32))
-        # steady state: measure items/s over 2 full sequence lengths.
-        # Completions counted in the window include tokens decoded before
-        # t0; over 2 full sequences the startup credit is <= 1/2 sequence
-        # per slot and amortizes — good enough for an indicative number.
-        t0 = time.time()
-        target = 2 * args.slots
-        while produced < target:
-            for rid, codes in b.step(n):
-                produced += 1
-                b.submit(jnp.asarray([rid % 1000], jnp.int32))
-        t_end = time.time()
-        tok_s = produced * T / (t_end - t0)
-        print(f"[continuous b{args.slots} dispatch={n}] "
-              f"{tok_s:.0f} tok/s steady-state (staggered slots, "
-              f"admissions included)", flush=True)
-        record("serving_continuous", tok_s, "tok/s", dispatch=n, **dims)
+
+def _run_continuous(args, m, vs, n, jax, jnp, record, dims, T):
+    import time
+
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+
+    b = ContinuousGPTBatcher(m, vs, num_slots=args.slots,
+                             rng=jax.random.PRNGKey(7), top_k=100,
+                             pipeline=args.pipeline)
+    for s in range(args.slots):
+        b.submit(jnp.asarray([s % 1000], jnp.int32))
+    # STAGGER: spread the slots across positions by stepping while
+    # re-admitting finished rows round-robin for one full sequence
+    warm_items = 0
+    produced = 0
+    # warmup until the first completion wave passes (compile + fill)
+    while warm_items < args.slots:
+        for rid, codes in b.step(n):
+            warm_items += 1
+            b.submit(jnp.asarray([rid % 1000], jnp.int32))
+    # steady state: measure items/s over 2 full sequence lengths.
+    # Completions counted in the window include tokens decoded before
+    # t0; over 2 full sequences the startup credit is <= 1/2 sequence
+    # per slot and amortizes — good enough for an indicative number.
+    t0 = time.time()
+    target = 2 * args.slots
+    while produced < target:
+        for rid, codes in b.step(n):
+            produced += 1
+            b.submit(jnp.asarray([rid % 1000], jnp.int32))
+    t_end = time.time()
+    tok_s = produced * T / (t_end - t0)
+    tag = " pipelined" if args.pipeline else ""
+    print(f"[continuous b{args.slots} dispatch={n}{tag}] "
+          f"{tok_s:.0f} tok/s steady-state (staggered slots, "
+          f"admissions included)", flush=True)
+    record("serving_continuous", tok_s, "tok/s", dispatch=n,
+           pipeline=args.pipeline, **dims)
 
 
 if __name__ == "__main__":

@@ -72,9 +72,16 @@ class BatcherLoop(threading.Thread):
                     rid = self.batcher.submit(cond)
                     pending[rid] = (done, box)
                 if not self.batcher.num_active():
-                    self._wake.wait(timeout=0.1)
-                    self._wake.clear()
-                    continue
+                    # pipelined batcher: drain the in-flight dispatch
+                    # before parking (its completions are someone's codes)
+                    for rid, codes in self.batcher.flush():
+                        done, box = pending.pop(rid)
+                        box["codes"] = codes
+                        done.set()
+                    if not self.batcher.num_active():
+                        self._wake.wait(timeout=0.1)
+                        self._wake.clear()
+                        continue
                 for rid, codes in self.batcher.step(self.steps_per_dispatch):
                     done, box = pending.pop(rid)
                     box["codes"] = codes
@@ -180,6 +187,10 @@ def main(argv=None):
                         "param + cache HBM reads of the bandwidth-bound "
                         "decode (GPT also drops the bf16 kernel copies; "
                         "the RQ depth stack still recomputes through them)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="overlap host bookkeeping with device compute: "
+                        "issue dispatch k+1 before fetching dispatch k "
+                        "(completions surface one dispatch later)")
     args = p.parse_args(argv)
 
     import jax
@@ -211,7 +222,7 @@ def main(argv=None):
     batcher = cls(
         tfm, variables, args.slots,
         jax.random.PRNGKey(args.seed), temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p)
+        top_k=args.top_k, top_p=args.top_p, pipeline=args.pipeline)
     loop = BatcherLoop(batcher, args.steps_per_dispatch)
     loop.start()
     handler = make_handler(loop, batcher, build_decode_fn(model))

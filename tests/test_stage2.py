@@ -195,6 +195,47 @@ def test_continuous_batcher_matches_lockstep_greedy(gpt):
     np.testing.assert_array_equal(done[rid2], want[2])
 
 
+def test_pipelined_batcher_matches_lockstep_greedy(gpt):
+    """pipeline=True (dispatch k+1 issued before fetching k's items) must
+    not change ANY request's greedy codes — the stale active mask only
+    covers rows already frozen on device, and the one-dispatch admission
+    lag shifts schedules, never contents. Also pins flush() draining the
+    last in-flight dispatch."""
+    from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
+    m, vs = gpt
+    conds = [jnp.asarray([c], jnp.int32) for c in (1, 4, 7)]
+    want = {}
+    for i, c in enumerate(conds):
+        _, codes = sample_gpt(m, vs, c[None, :], jax.random.PRNGKey(9),
+                              top_k=1)
+        want[i] = np.asarray(codes[0])
+
+    b = ContinuousGPTBatcher(m, vs, num_slots=2,
+                             rng=jax.random.PRNGKey(123), top_k=1,
+                             pipeline=True)
+    rid0 = b.submit(conds[0])
+    for _ in range(3):
+        b.step(2)
+    rid1 = b.submit(conds[1])
+    done = {}
+    rid2 = None
+    steps = 0
+    while len(done) < 3:
+        for rid, seq in b.step(2):
+            done[rid] = seq
+            if rid2 is None:                  # a slot just freed: admit #2
+                rid2 = b.submit(conds[2])
+        steps += 1
+        if steps > 200:                       # 2 slots x 8 tokens: plenty
+            done.update(dict(b.flush()))
+            break
+    done.update(dict(b.flush()))
+    assert b.num_active() == 0 and b._pending is None
+    np.testing.assert_array_equal(done[rid0], want[0])
+    np.testing.assert_array_equal(done[rid1], want[1])
+    np.testing.assert_array_equal(done[rid2], want[2])
+
+
 def test_ragged_decode_step_matches_lockstep(gpt):
     """decode_step with a (B,) step vector == scalar steps row by row
     (teacher forcing at mixed positions)."""
