@@ -155,7 +155,8 @@ def make_vitvq_train_step(model, loss_obj, ae_tx, disc_tx=None):
     return train_step
 
 
-def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None):
+def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None,
+                                 reuse_xrec: bool = False):
     """Two-program variant of the GAN step: (ae_step, disc_step).
 
     Identical math to make_vitvq_train_step, but the autoencoder and
@@ -163,6 +164,16 @@ def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None):
     programs. Useful when a single fused program's compile time is the
     bottleneck (e.g. remote-compile tunnels); costs one host round trip per
     step. Select with Trainer(split_gan_step=True).
+
+    ``reuse_xrec=True`` changes the protocol AND the semantics: ae_step
+    returns ``(state, log, xrec)`` with the reconstruction it already
+    computed, and ``disc_step(..., xrec=...)`` trains D on it instead of
+    re-running the generator forward. That saves one full generator
+    forward per step (measured: ~20% of the b8 GAN step), but D then sees
+    the PRE-update generator's output — the reference recomputes xrec
+    after the G optimizer step (vitvqgan.py:101-127, Lightning's
+    sequential optimizers), so D there sees a half-step-fresher fake.
+    One SGD step of staleness on the fake distribution; opt-in.
     """
     module = model.module
     constants = model.constants
@@ -195,9 +206,10 @@ def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None):
             else:
                 l, log = loss_obj.generator_loss(
                     qloss, x, xrec, lpips_params=state.lpips_params)
-            return l, (log, jax.lax.stop_gradient(codes))
+            return l, (log, jax.lax.stop_gradient(codes),
+                       jax.lax.stop_gradient(xrec) if reuse_xrec else None)
 
-        (_, (log, codes)), grads = jax.value_and_grad(
+        (_, (log, codes, xrec_out)), grads = jax.value_and_grad(
             ae_loss_fn, has_aux=True)(state.ae_params)
         updates, ae_opt = ae_tx.update(grads, state.ae_opt, state.ae_params)
         ae_params = optax.apply_updates(state.ae_params, updates)
@@ -205,17 +217,22 @@ def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None):
         p = hist / jnp.maximum(jnp.sum(hist), 1.0)
         log["train/code_perplexity"] = jnp.exp(
             -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0)))
-        return state.replace(ae_params=ae_params, ae_opt=ae_opt), log
+        new_state = state.replace(ae_params=ae_params, ae_opt=ae_opt)
+        if reuse_xrec:
+            return new_state, log, xrec_out
+        return new_state, log
 
     @functools.partial(jax.jit, static_argnames=("do_r1",),
                        donate_argnums=(0,))
-    def disc_step(state: GANTrainState, x, rng, temp, do_r1: bool = False):
+    def disc_step(state: GANTrainState, x, rng, temp, do_r1: bool = False,
+                  xrec=None):
         if not has_disc:
             return state.replace(step=state.step + 1), {}
         disc_factor = (state.step
                        >= loss_obj.discriminator_iter_start).astype(jnp.float32)
-        xrec, _, _, _ = forward(state.ae_params, x, temp, rng)
-        xrec = jax.lax.stop_gradient(xrec)
+        if xrec is None:
+            xrec, _, _, _ = forward(state.ae_params, x, temp, rng)
+            xrec = jax.lax.stop_gradient(xrec)
 
         def d_loss_fn(dp):
             return loss_obj.discriminator_loss(dp, x, xrec, disc_factor,

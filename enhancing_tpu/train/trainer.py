@@ -44,6 +44,7 @@ class Trainer:
                  callbacks: Optional[list] = None,
                  max_steps: Optional[int] = None,
                  split_gan_step: bool = False,
+                 reuse_xrec: bool = False,
                  metrics_logger=None,
                  zero1: bool = False,
                  sp: bool = False,
@@ -63,6 +64,12 @@ class Trainer:
         self.callbacks = callbacks or []
         self.max_steps = max_steps
         self.split_gan_step = split_gan_step
+        # D trains on the AE phase's reconstruction instead of re-running
+        # the generator forward — one SGD step stale; see
+        # steps.make_vitvq_train_steps_split. Implies split_gan_step.
+        self.reuse_xrec = reuse_xrec
+        if reuse_xrec:
+            self.split_gan_step = True
         self.metrics_logger = metrics_logger  # e.g. utils.logging.WandbLogger
         # ZeRO-1: shard optimizer moments over the 'data' axis (sharding.py)
         self.zero1 = zero1
@@ -125,14 +132,25 @@ class Trainer:
         if self.split_gan_step:
             from .steps import make_vitvq_train_steps_split
             ae_step, disc_step = make_vitvq_train_steps_split(
-                model, loss_obj, ae_tx, disc_tx)
+                model, loss_obj, ae_tx, disc_tx,
+                reuse_xrec=self.reuse_xrec)
 
-            def train_step(state, x, rng, temp, do_r1=False):
-                r1, r2 = jax.random.split(rng)
-                state, log = ae_step(state, x, r1, temp)
-                state, d_log = disc_step(state, x, r2, temp, do_r1=do_r1)
-                log.update(d_log)
-                return state, log
+            if self.reuse_xrec:
+                def train_step(state, x, rng, temp, do_r1=False):
+                    r1, r2 = jax.random.split(rng)
+                    state, log, xrec = ae_step(state, x, r1, temp)
+                    state, d_log = disc_step(state, x, r2, temp,
+                                             do_r1=do_r1, xrec=xrec)
+                    log.update(d_log)
+                    return state, log
+            else:
+                def train_step(state, x, rng, temp, do_r1=False):
+                    r1, r2 = jax.random.split(rng)
+                    state, log = ae_step(state, x, r1, temp)
+                    state, d_log = disc_step(state, x, r2, temp,
+                                             do_r1=do_r1)
+                    log.update(d_log)
+                    return state, log
         else:
             train_step = make_vitvq_train_step(model, loss_obj, ae_tx,
                                                disc_tx)

@@ -39,6 +39,12 @@ def main() -> None:
     parser.add_argument("--split_gan_step", action="store_true",
                         help="compile AE and discriminator updates as two "
                              "smaller XLA programs (faster compiles)")
+    parser.add_argument("--reuse_xrec", action="store_true",
+                        help="D trains on the AE phase's reconstruction "
+                             "instead of re-running the generator forward "
+                             "(~20%% faster GAN step; D's fake is one SGD "
+                             "step stale vs the reference; implies "
+                             "--split_gan_step)")
     parser.add_argument("--zero1", action="store_true",
                         help="shard optimizer state over the data axis "
                              "(ZeRO-1 via GSPMD sharding annotations)")
@@ -94,8 +100,9 @@ def main() -> None:
     # amp: bf16 compute dtype threaded into the model config. The
     # reference's Lightning AMP (`precision=16`, main.py:52) also runs the
     # discriminator in half precision — mirror that with bf16 D compute
-    # (D params stay f32). Measured r4 (bench_train_breakdown --disc_bf16,
-    # b8): D phase 70.8 -> 32.2 ms, full GAN step 194.5 -> 155.5 ms.
+    # (D params stay f32). Measured r4 same-day A/B (bench_train_breakdown
+    # --disc_bf16, b8): D phase 91.2 -> 70.6 ms (BENCH_EXTENDED.json
+    # gan_phase_ms rows); b32 OOMs one chip with the f32 D, runs in bf16.
     if args.use_amp and "params" in config.model:
         config.model["params"]["dtype"] = "bfloat16"
         loss_cfg = config.model["params"].get("loss")
@@ -139,6 +146,7 @@ def main() -> None:
                       callbacks=[setup_cb, image_cb],
                       max_steps=args.max_steps,
                       split_gan_step=args.split_gan_step,
+                      reuse_xrec=args.reuse_xrec,
                       metrics_logger=wandb_logger,
                       zero1=args.zero1,
                       sp=args.sp,

@@ -267,21 +267,25 @@ def bench_decode(n_layers=8, batch=4, int8=False, kv_int8=False,
     return dt
 
 
-def bench_rq(train_batch=4, sample_batch=4, do_train=True):
+def bench_rq(train_batch=4, sample_batch=4, do_train=True, int8=False):
     """Shipped RQ flagship (1536d, 24L spatial D=96 + 4L depth D=192):
-    full-config AdamW training step and nested sampling."""
+    full-config AdamW training step and nested sampling. ``int8``:
+    weights-only int8 + int8 KV sampling (the bf16 kernels are kept — the
+    RQ depth stack recomputes through them at every spatial position)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
     from enhancing_tpu.models.stage2.layers import RQTransformer
     from enhancing_tpu.models.stage2.sampling import sample_rq
+    from enhancing_tpu.utils.bench_log import record
 
     m = RQTransformer(vocab_cond_size=1000, vocab_img_size=8192,
                       embed_dim=1536, cond_num_tokens=1, img_num_tokens=1024,
                       depth_num_tokens=4, spatial_n_heads=16, depth_n_heads=8,
                       spatial_n_layers=24, depth_n_layers=4,
-                      dtype=jnp.bfloat16, scan_layers=True, remat=True)
+                      dtype=jnp.bfloat16, scan_layers=True, remat=True,
+                      kv_int8=int8)
     b = train_batch
     codes0 = jnp.zeros((b, 1024, 4), jnp.int32)
     conds = jnp.zeros((b, 1), jnp.int32)
@@ -326,6 +330,10 @@ def bench_rq(train_batch=4, sample_batch=4, do_train=True):
     # sampling at the full shipped config
     conds_s = jnp.zeros((sample_batch, 1), jnp.int32)
     vs_s = {"params": params}
+    if int8:
+        from enhancing_tpu.models.stage2.quantize import \
+            quantize_decode_params
+        vs_s = quantize_decode_params(vs_s)
     t0 = time.perf_counter()
     _, out = sample_rq(m, vs_s, conds_s, jax.random.PRNGKey(0), top_k=100)
     _ = np.asarray(out)
@@ -338,8 +346,11 @@ def bench_rq(train_batch=4, sample_batch=4, do_train=True):
         _ = np.asarray(out)
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
-    print(f"[rq-1536d sample] {dt:.1f} s / 1024x4 codes -> "
+    tag = " int8" if int8 else ""
+    print(f"[rq-1536d sample{tag}] {dt:.1f} s / 1024x4 codes -> "
           f"{sample_batch*1024*4/dt:.0f} tok/s @ b{sample_batch}")
+    record("flagship_rq_sample", sample_batch * 1024 * 4 / dt, "tok/s",
+           batch=sample_batch, int8=int8, kv_int8=int8)
 
 
 def main():
@@ -374,9 +385,10 @@ def main():
                      int8=args.int8, kv_int8=args.kv_int8,
                      act_int8=args.act_int8)
     if args.part in ("all", "rq"):
-        bench_rq()
+        bench_rq(int8=args.int8)
     if args.part == "rqsample":
-        bench_rq(do_train=False)
+        bench_rq(do_train=False, sample_batch=args.batch,
+                 int8=args.int8)
 
 
 if __name__ == "__main__":

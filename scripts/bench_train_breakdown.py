@@ -24,7 +24,8 @@ def _sync(x) -> float:
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def build(batch: int, remat: bool, disc_bf16: bool = False):
+def build(batch: int, remat: bool, disc_bf16: bool = False,
+          reuse_xrec: bool = False):
     import jax.numpy as jnp
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
     from enhancing_tpu.train.optim import make_ae_optimizer
@@ -55,8 +56,8 @@ def build(batch: int, remat: bool, disc_bf16: bool = False):
         disc_params=loss_obj.disc_init_params,
         disc_opt=disc_tx.init(loss_obj.disc_init_params),
         lpips_params=loss_obj.lpips_params)
-    ae_step, disc_step = make_vitvq_train_steps_split(model, loss_obj,
-                                                      ae_tx, disc_tx)
+    ae_step, disc_step = make_vitvq_train_steps_split(
+        model, loss_obj, ae_tx, disc_tx, reuse_xrec=reuse_xrec)
     return model, state, ae_step, disc_step
 
 
@@ -82,7 +83,7 @@ def timed(fn, state, x0, iters=10, trials=3):
     return statistics.median(ts)
 
 
-def count_flops() -> None:
+def count_flops(reuse_xrec: bool = False) -> None:
     """Subprocess (--count-flops): algorithmic FLOPs of the ae/disc steps at
     b8, from XLA's CPU cost analysis of the pure-XLA twin programs (same
     honest-MFU basis as bench.py: Pallas cost_estimates report physical
@@ -97,26 +98,32 @@ def count_flops() -> None:
     import jax.numpy as jnp
     from enhancing_tpu.ops.common import force_xla_ops
 
-    model, state, ae_step, disc_step = build(8, remat=False)
+    model, state, ae_step, disc_step = build(8, remat=False,
+                                             reuse_xrec=reuse_xrec)
     x0 = jnp.zeros((8, 256, 256, 3), jnp.bfloat16)
     rng = jax.random.PRNGKey(1)
     temp = jnp.float32(1.0)
     with force_xla_ops():
         fl_ae = float(ae_step.lower(state, x0, rng, temp)
                       .compile().cost_analysis()["flops"])
-        fl_d = float(disc_step.lower(state, x0, rng, temp, do_r1=False)
+        # the d program without the generator forward when reuse_xrec:
+        # its honest flop basis must match what the timed program runs
+        d_kw = ({"xrec": x0} if reuse_xrec else {})
+        fl_d = float(disc_step.lower(state, x0, rng, temp, do_r1=False,
+                                     **d_kw)
                      .compile().cost_analysis()["flops"])
     print(json.dumps({"fl_ae_b8": fl_ae, "fl_d_b8": fl_d}))
 
 
-def algorithmic_flops_b8() -> tuple:
+def algorithmic_flops_b8(reuse_xrec: bool = False) -> tuple:
     import json
     import os
     import subprocess
 
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--count-flops"],
+            [sys.executable, os.path.abspath(__file__), "--count-flops"]
+            + (["--reuse_xrec"] if reuse_xrec else []),
             capture_output=True, text=True, timeout=1800)
         d = json.loads(proc.stdout.strip().splitlines()[-1])
         return d["fl_ae_b8"], d["fl_d_b8"]
@@ -134,6 +141,9 @@ def main():
                          "+ that phase's activations)")
     ap.add_argument("--disc_bf16", action="store_true",
                     help="mixed-precision discriminator (bf16 compute)")
+    ap.add_argument("--reuse_xrec", action="store_true",
+                    help="D trains on the AE phase's xrec (no second "
+                         "generator forward; one SGD step stale)")
     ap.add_argument("--no-flops", action="store_true",
                     help="skip the CPU cost-analysis subprocess (phase runs "
                          "print raw ms only)")
@@ -145,25 +155,45 @@ def main():
     from enhancing_tpu.utils.bench_log import record
 
     fl_ae_b8, fl_d_b8 = ((float("nan"), float("nan")) if args.no_flops
-                         else algorithmic_flops_b8())
+                         else algorithmic_flops_b8(args.reuse_xrec))
 
     for batch in args.batches:
         remat = batch >= 32
         model, state, ae_step, disc_step = build(batch, remat,
-                                                  args.disc_bf16)
+                                                  args.disc_bf16,
+                                                  args.reuse_xrec)
         x0 = jax.random.uniform(jax.random.PRNGKey(0),
                                 (batch, 256, 256, 3), jnp.bfloat16)
         rng = jax.random.PRNGKey(1)
         temp = jnp.float32(1.0)
 
-        def ae(s, x):
-            return ae_step(s, x, rng, temp)
+        if args.reuse_xrec:
+            # the d phase consumes the ae phase's xrec; time it against a
+            # fixed representative xrec (same shape/dtype — the d program
+            # cost does not depend on its values)
+            s_tmp, _, xrec0 = ae_step(jax.tree.map(jnp.copy, state), x0,
+                                      rng, temp)
+            _sync(s_tmp.step)
+            del s_tmp
 
-        def d(s, x):
-            return disc_step(s, x, rng, temp, do_r1=False)
+            def ae(s, x):
+                s2, log, _ = ae_step(s, x, rng, temp)
+                return s2, log
 
-        def d_r1(s, x):
-            return disc_step(s, x, rng, temp, do_r1=True)
+            def d(s, x):
+                return disc_step(s, x, rng, temp, do_r1=False, xrec=xrec0)
+
+            def d_r1(s, x):
+                return disc_step(s, x, rng, temp, do_r1=True, xrec=xrec0)
+        else:
+            def ae(s, x):
+                return ae_step(s, x, rng, temp)
+
+            def d(s, x):
+                return disc_step(s, x, rng, temp, do_r1=False)
+
+            def d_r1(s, x):
+                return disc_step(s, x, rng, temp, do_r1=True)
 
         def fresh():
             # never hand the original (donated-arg) state to a step — see
@@ -184,7 +214,8 @@ def main():
             print(f"[gan-phase b{batch}{' remat' if remat else ''} "
                   f"{args.phase}] {t*1e3:.1f} ms", flush=True)
             record("gan_phase_ms", t * 1e3, "ms", batch=batch, remat=remat,
-                   phase=args.phase, disc_bf16=args.disc_bf16)
+                   phase=args.phase, disc_bf16=args.disc_bf16,
+                   reuse_xrec=args.reuse_xrec)
             continue
 
         t_ae = phase("ae", ae)
@@ -207,6 +238,7 @@ def main():
               f"({fl_ae/1e9:.0f}+{fl_d/1e9:.0f} GF)", flush=True)
         record("gan_train_step", batch / total, "img/s", batch=batch,
                remat=remat, disc_bf16=args.disc_bf16,
+               reuse_xrec=args.reuse_xrec,
                ae_ms=round(t_ae * 1e3, 1), d_ms=round(t_d * 1e3, 1),
                r1_ms=round(t_r1 * 1e3, 1),
                mfu_pct=round(fl / total / PEAK * 100, 1))
@@ -214,6 +246,6 @@ def main():
 
 if __name__ == "__main__":
     if "--count-flops" in sys.argv:
-        count_flops()
+        count_flops(reuse_xrec="--reuse_xrec" in sys.argv)
     else:
         main()

@@ -224,6 +224,78 @@ def test_split_gan_step_matches_semantics():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_reuse_xrec_matches_explicit_prestep_xrec():
+    """reuse_xrec: the xrec ae_step hands back IS the pre-update forward's
+    reconstruction, and disc_step(xrec=...) trains D on exactly it — the
+    resulting disc params match a manual D update on that same xrec."""
+    from enhancing_tpu.train.optim import make_ae_optimizer
+    from enhancing_tpu.train.steps import (GANTrainState,
+                                           make_vitvq_train_steps_split)
+    model = ViTVQ(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY, quantizer=Q,
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 32, "perceptual_weight": 0.0,
+                         "adversarial_weight": 0.1}})
+    loss_obj = model.loss
+    ae_tx, disc_tx = make_ae_optimizer(1e-4, None, 1), \
+        make_ae_optimizer(1e-4, None, 1)
+
+    def mkstate():
+        # fresh copies every call: ae_step/disc_step donate the state, so
+        # handing them the module-held arrays would delete them
+        return jax.tree.map(jnp.copy, GANTrainState(
+            step=jnp.ones((), jnp.int32) * 100,
+            ae_params=model.params, ae_opt=ae_tx.init(model.params),
+            disc_params=loss_obj.disc_init_params,
+            disc_opt=disc_tx.init(loss_obj.disc_init_params),
+            lpips_params=loss_obj.lpips_params))
+
+    ae_step, disc_step = make_vitvq_train_steps_split(
+        model, loss_obj, ae_tx, disc_tx, reuse_xrec=True)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)),
+                    jnp.float32)
+    rng, temp = jax.random.PRNGKey(1), jnp.float32(1.0)
+
+    s1, _, xrec = ae_step(mkstate(), x, rng, temp)
+    # the handed-back xrec is the PRE-update reconstruction
+    want_xrec, _, _, _ = model.module.apply(
+        {"params": mkstate().ae_params, "constants": model.constants},
+        x, temp, True, method="forward_training")
+    np.testing.assert_allclose(np.asarray(xrec), np.asarray(want_xrec),
+                               atol=1e-6)
+    s2a, _ = disc_step(s1, x, rng, temp, xrec=xrec)
+    # == a D update where xrec is injected explicitly on a fresh state pair
+    s1b, _, xrec_b = ae_step(mkstate(), x, rng, temp)
+    s2b, _ = disc_step(s1b, x, rng, temp, xrec=xrec_b)
+    for a, b in zip(jax.tree.leaves(s2a.disc_params),
+                    jax.tree.leaves(s2b.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and it actually changed D
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s2a.disc_params),
+                        jax.tree.leaves(mkstate().disc_params)))
+    assert moved
+
+
+def test_reuse_xrec_trainer_end_to_end():
+    """Trainer(reuse_xrec=True) trains the GAN config, stays finite."""
+    model = ViTVQ(
+        image_size=32, patch_size=8, encoder=TINY, decoder=TINY, quantizer=Q,
+        loss={"target":
+              "enhancing_tpu.losses.vqperceptual.VQLPIPSWithDiscriminator",
+              "params": {"image_size": 32, "perceptual_weight": 0.0,
+                         "adversarial_weight": 0.1, "do_r1_every": 2}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1000,
+                      max_steps=3, reuse_xrec=True)
+    assert trainer.split_gan_step  # implied
+    trainer.fit(model, build_data())
+    assert int(trainer.final_state.step) == 3
+    for leaf in jax.tree.leaves(trainer.final_state.disc_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_gumbel_temp_reads_configured_temp_init():
     """Configured quantizer temp_init is honored when no scheduler is set
     (regression: getattr on the config dict used to always yield 1.0)."""
