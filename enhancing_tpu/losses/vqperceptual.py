@@ -119,6 +119,7 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
                  use_adaptive_adv: bool = False,
                  r1_gamma: float = 10.0,
                  do_r1_every: int = 16,
+                 r1_chunk: Optional[int] = None,
                  lpips_weights: Optional[str] = None,
                  allow_random_lpips: bool = False,
                  image_size: int = 256, seed: int = 0) -> None:
@@ -132,6 +133,12 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
         self.use_adaptive_adv = use_adaptive_adv
         self.r1_gamma = r1_gamma
         self.do_r1_every = do_r1_every
+        # R1 memory knob: compute the gradient penalty in sub-batches of
+        # r1_chunk images (rematerialized lax.map) — the R1 step's
+        # second-order residuals, not the D update itself, are what OOMs
+        # large batches (b32 measured: the plain D phase fits, +R1 does
+        # not). None = whole batch in one shot.
+        self.r1_chunk = r1_chunk
 
         disc_params = dict(disc_params or {})
         disc_params.setdefault("size", image_size)
@@ -194,12 +201,24 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
             # (the reference's conv2d_gradfix equivalent).
             from ..ops.common import force_xla_ops
             with force_xla_ops():
-                grad_fn = jax.grad(
-                    lambda imgs: jnp.sum(
-                        self.run_discriminator(disc_params, imgs)))
-                gradients = grad_fn(x)
-            grad_norm = jnp.mean(
-                jnp.sum(jnp.square(gradients), axis=(1, 2, 3)))
+                def sq_grad_norms(imgs):
+                    g = jax.grad(lambda im: jnp.sum(
+                        self.run_discriminator(disc_params, im)))(imgs)
+                    return jnp.sum(jnp.square(g), axis=(1, 2, 3))
+
+                b = x.shape[0]
+                if self.r1_chunk and b > self.r1_chunk \
+                        and b % self.r1_chunk == 0:
+                    # sub-batch the penalty: jax.checkpoint keeps only one
+                    # chunk's second-order residuals live at a time when
+                    # the outer grad (w.r.t. disc_params) sweeps back
+                    # through the lax.map
+                    chunks = x.reshape(-1, self.r1_chunk, *x.shape[1:])
+                    norms = jax.lax.map(jax.checkpoint(sq_grad_norms),
+                                        chunks).reshape(-1)
+                else:
+                    norms = sq_grad_norms(x)
+            grad_norm = jnp.mean(norms)
             d_loss = d_loss + self.r1_gamma * self.do_r1_every * grad_norm / 2
             log[f"{split}/r1_reg"] = grad_norm
             log[f"{split}/disc_loss"] = d_loss

@@ -118,6 +118,30 @@ def _use_fused_attn_proj() -> bool:
     return os.environ.get("ENHANCING_TPU_ATTN_PROJ", "") not in ("", "0")
 
 
+def _w8a8_gemms_enabled() -> bool:
+    from ...ops.int8 import w8a8_gemms_enabled
+    return w8a8_gemms_enabled()
+
+
+def _w8a8_dense(x, w, b, activation=None):
+    """nn.Dense-equivalent GEMM on the MXU's native int8 path: dynamic
+    per-row int8 activations x per-output-channel int8 weights (quantized
+    on the fly — stage-1 weights are a rounding error next to the
+    activation traffic). See ops/int8.w8a8_gemms."""
+    from ...ops.int8 import int8_gemm, quantize_channelwise
+    w_q, sc = quantize_channelwise(w)
+    return int8_gemm(x, w_q, sc, b, activation=activation, w8a8=True)
+
+
+def _w8a8_ln_gemm(x, ln, w, b=None, activation=None):
+    """fused_ln_gemm's W8A8 twin (LN stays f32; the GEMM runs int8)."""
+    from ...ops.int8 import int8_ln_gemm, quantize_channelwise
+    w_q, sc = quantize_channelwise(w)
+    out, _ = int8_ln_gemm(x, ln[0], ln[1], None, None, w_q, sc, b,
+                          activation=activation, w8a8=True)
+    return out
+
+
 def resolve_ffn_impl(ffn_impl: str | None) -> str:
     """Resolve the FFN kernel choice: the ENHANCING_TPU_FUSED_FFN env var is
     an A/B override; otherwise the module/config field decides ('dense' — the
@@ -160,14 +184,25 @@ class FeedForward(nn.Module):
             w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
             return fused_ffn(x.astype(self.dtype), w1, b1, w2, b2,
                              activation="tanh", impl="pallas")
+        w8a8 = _w8a8_gemms_enabled()
         if ln is not None:
             w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
-            x = fused_ln_gemm(x.astype(self.dtype), ln[0], ln[1], w1, b1,
-                              activation="tanh")
+            if w8a8:
+                x = _w8a8_ln_gemm(x.astype(self.dtype), ln, w1, b1,
+                                  activation="tanh")
+            else:
+                x = fused_ln_gemm(x.astype(self.dtype), ln[0], ln[1], w1, b1,
+                                  activation="tanh")
+        elif w8a8:
+            w1, b1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
+            x = _w8a8_dense(x.astype(self.dtype), w1, b1, activation="tanh")
         else:
             x = nn.Dense(self.hidden_dim, kernel_init=dense_init,
                          dtype=self.dtype, name="fc1")(x)
             x = jnp.tanh(x)
+        if w8a8:
+            w2, b2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+            return _w8a8_dense(x, w2, b2)
         return nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
                         name="fc2")(x)
 
@@ -199,10 +234,18 @@ class Attention(nn.Module):
         """
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
+        w8a8 = _w8a8_gemms_enabled()
         if ln is not None:
             wq, _ = _DenseParams(self.dim, inner * 3, use_bias=False,
                                  name="to_qkv")()
-            qkv = fused_ln_gemm(x.astype(self.dtype), ln[0], ln[1], wq)
+            if w8a8:
+                qkv = _w8a8_ln_gemm(x.astype(self.dtype), ln, wq)
+            else:
+                qkv = fused_ln_gemm(x.astype(self.dtype), ln[0], ln[1], wq)
+        elif w8a8:
+            wq, _ = _DenseParams(self.dim, inner * 3, use_bias=False,
+                                 name="to_qkv")()
+            qkv = _w8a8_dense(x.astype(self.dtype), wq, None)
         else:
             qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=dense_init,
                            dtype=self.dtype, name="to_qkv")(x)
@@ -226,8 +269,12 @@ class Attention(nn.Module):
                                              scale=self.dim_head**-0.5)
 
         if has_proj:
-            out = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
-                           name="to_out")(out)
+            if w8a8:
+                wp, bp = _DenseParams(inner, self.dim, name="to_out")()
+                out = _w8a8_dense(out, wp, bp)
+            else:
+                out = nn.Dense(self.dim, kernel_init=dense_init,
+                               dtype=self.dtype, name="to_out")(out)
         if residual is not None:
             out = residual.astype(out.dtype) + out
         return out

@@ -21,6 +21,8 @@ differentiated.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 
@@ -32,6 +34,32 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import cdiv, in_scanned_weights, interpret_mode, use_pallas
 from .ln_gemm import _act, layernorm_xla
 from .partition import partitioned
+
+
+_W8A8_GEMMS = contextvars.ContextVar("w8a8_gemms", default=False)
+
+
+@contextlib.contextmanager
+def w8a8_gemms():
+    """Trace-time switch: stage-1 transformer blocks route their four GEMMs
+    (qkv, to_out, fc1, fc2) through the MXU's native int8 path — dynamic
+    per-row activation quant x per-channel weight quant (quantized on the
+    fly inside the program; stage-1 weights are ~2% of the activation
+    traffic, so the re-quantize is free, unlike decode where weights
+    dominate and are pre-quantized). Wrap the jit TRACE (first call), not
+    just the execution. Env twin: ENHANCING_TPU_STAGE1_GEMM=w8a8.
+    Numerics gate: scripts/bench_int8_stage1.py (code match + recon PSNR).
+    """
+    tok = _W8A8_GEMMS.set(True)
+    try:
+        yield
+    finally:
+        _W8A8_GEMMS.reset(tok)
+
+
+def w8a8_gemms_enabled() -> bool:
+    return (_W8A8_GEMMS.get()
+            or os.environ.get("ENHANCING_TPU_STAGE1_GEMM") == "w8a8")
 
 
 def quantize_channelwise(w: jax.Array) -> tuple[jax.Array, jax.Array]:

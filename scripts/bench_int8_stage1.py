@@ -87,6 +87,53 @@ def bench_gemm():
                    m=m, d=d, n=n, mode=name)
 
 
+def bench_headline(batch=128, iters=8):
+    """Same-day A/B of the bench.py headline step (encode+decode, 256px,
+    ViT-Base) bf16 vs the REAL W8A8 mode (ops/int8.w8a8_gemms: the four
+    block GEMMs ride the MXU's native int8 path; attention, patch embed
+    and the VQ search stay bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
+    from enhancing_tpu.ops.int8 import w8a8_gemms
+    from enhancing_tpu.utils.bench_log import record
+
+    enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072)
+    model = ViTVQ(image_size=256, patch_size=8, encoder=enc, decoder=enc,
+                  quantizer=dict(embed_dim=32, n_embed=8192),
+                  dtype="bfloat16")
+    module, variables = model.module, model.variables
+
+    def step_fn(v, x, i):
+        codes = module.apply(v, x, method="encode_codes")
+        out = module.apply(v, codes, method="decode_codes")
+        return jnp.clip(out + i * 1e-5, 0.0, 1.0)
+
+    def step_w8a8_fn(v, x, i):
+        with w8a8_gemms():
+            return step_fn(v, x, i)
+
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 256, 256, 3),
+                            jnp.float32)
+    for name, fn in (("bf16", jax.jit(step_fn)),
+                     ("w8a8", jax.jit(step_w8a8_fn))):
+        x = fn(variables, x0, jnp.float32(0))
+        _sync(x[:1])
+        ts = []
+        for t in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                x = fn(variables, x, jnp.float32(1 + iters * t + i))
+            _sync(x[:1])
+            ts.append((time.perf_counter() - t0) / iters)
+        dt = statistics.median(ts)
+        print(f"[headline {name} b{batch}] {dt * 1e3:.1f} ms -> "
+              f"{batch / dt:.1f} img/s", flush=True)
+        record("stage1_headline", batch / dt, "img/s", batch=batch,
+               mode=name)
+
+
 def bench_numerics():
     import jax
     import jax.numpy as jnp
@@ -118,11 +165,24 @@ def bench_numerics():
             codes = module.apply(vs, x, method="encode_codes")
             return codes, module.apply(vs, codes, method="decode_codes")
 
+    from enhancing_tpu.ops.int8 import w8a8_gemms
+
+    @jax.jit
+    def roundtrip_real(vs, x):
+        # the REAL serving mode (ops/int8.w8a8_gemms): the four block GEMMs
+        # on the int8 MXU path, everything else bf16 — what bench_headline
+        # times. (The fake-quant variants above bound the error of
+        # quantizing EVERY Dense including patch embed/unembed.)
+        with w8a8_gemms():
+            codes = module.apply(vs, x, method="encode_codes")
+            return codes, module.apply(vs, codes, method="decode_codes")
+
     x = jax.random.uniform(jax.random.PRNGKey(7), (16, 256, 256, 3),
                            jnp.float32)
     codes_bf, rec_bf = roundtrip(variables, x)
     codes_w8, rec_w8 = roundtrip_w8a8(qvars, x)
     codes_wonly, rec_wonly = roundtrip(qvars, x)
+    codes_real, rec_real = roundtrip_real(variables, x)
 
     def psnr(a, b):
         mse = float(jnp.mean((a.astype(jnp.float32)
@@ -130,7 +190,9 @@ def bench_numerics():
         return 10 * np.log10(1.0 / max(mse, 1e-12))
 
     for tag, codes, rec in (("w8 (weights-only)", codes_wonly, rec_wonly),
-                            ("w8a8", codes_w8, rec_w8)):
+                            ("w8a8", codes_w8, rec_w8),
+                            ("w8a8-mode (block GEMMs)", codes_real,
+                             rec_real)):
         match = float(jnp.mean((codes == codes_bf).astype(jnp.float32)))
         p = psnr(rec, rec_bf)
         print(f"[numerics {tag}] code match {match * 100:.1f}%, recon PSNR "
@@ -142,12 +204,15 @@ def bench_numerics():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="all",
-                    choices=["all", "gemm", "numerics"])
+                    choices=["all", "gemm", "numerics", "headline"])
+    ap.add_argument("--batch", type=int, default=128)
     args = ap.parse_args()
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
     if args.part in ("all", "gemm"):
         bench_gemm()
+    if args.part in ("all", "headline"):
+        bench_headline(batch=args.batch)
     if args.part in ("all", "numerics"):
         bench_numerics()
 

@@ -25,7 +25,7 @@ def _sync(x) -> float:
 
 
 def build(batch: int, remat: bool, disc_bf16: bool = False,
-          reuse_xrec: bool = False):
+          reuse_xrec: bool = False, r1_chunk=None):
     import jax.numpy as jnp
     from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
     from enhancing_tpu.train.optim import make_ae_optimizer
@@ -41,6 +41,8 @@ def build(batch: int, remat: bool, disc_bf16: bool = False,
         # the reference's Lightning AMP `-a` flag, which also runs the
         # discriminator in half precision
         loss_params["disc_params"] = {"dtype": "bfloat16"}
+    if r1_chunk:
+        loss_params["r1_chunk"] = r1_chunk
     model = ViTVQ(
         image_size=256, patch_size=8, encoder=enc, decoder=enc,
         quantizer=dict(embed_dim=32, n_embed=8192), dtype="bfloat16",
@@ -147,6 +149,9 @@ def main():
     ap.add_argument("--no-flops", action="store_true",
                     help="skip the CPU cost-analysis subprocess (phase runs "
                          "print raw ms only)")
+    ap.add_argument("--r1_chunk", type=int, default=None,
+                    help="sub-batch the R1 penalty (losses/vqperceptual "
+                         "r1_chunk): fits the b32 R1 step on one chip")
     args = ap.parse_args()
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
@@ -161,7 +166,8 @@ def main():
         remat = batch >= 32
         model, state, ae_step, disc_step = build(batch, remat,
                                                   args.disc_bf16,
-                                                  args.reuse_xrec)
+                                                  args.reuse_xrec,
+                                                  args.r1_chunk)
         x0 = jax.random.uniform(jax.random.PRNGKey(0),
                                 (batch, 256, 256, 3), jnp.bfloat16)
         rng = jax.random.PRNGKey(1)
@@ -215,7 +221,7 @@ def main():
                   f"{args.phase}] {t*1e3:.1f} ms", flush=True)
             record("gan_phase_ms", t * 1e3, "ms", batch=batch, remat=remat,
                    phase=args.phase, disc_bf16=args.disc_bf16,
-                   reuse_xrec=args.reuse_xrec)
+                   reuse_xrec=args.reuse_xrec, r1_chunk=args.r1_chunk)
             continue
 
         t_ae = phase("ae", ae)

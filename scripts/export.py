@@ -27,6 +27,11 @@ def main() -> None:
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--int8", action="store_true",
+                   help="stage-1: trace the tokenizer with the W8A8 GEMM "
+                        "mode (ops/int8.w8a8_gemms — block GEMMs on the "
+                        "MXU's native int8 path); numerics gate: "
+                        "scripts/bench_int8_stage1.py")
     args = p.parse_args()
 
     from enhancing_tpu.models.stage2.transformer import CondTransformer
@@ -45,8 +50,13 @@ def main() -> None:
                                temperature=args.temperature,
                                platforms=args.platforms)
     else:
-        paths = export_tokenizer(model, args.batch, args.outdir,
-                                 platforms=args.platforms)
+        import contextlib
+
+        from enhancing_tpu.ops.int8 import w8a8_gemms
+        ctx = w8a8_gemms() if args.int8 else contextlib.nullcontext()
+        with ctx:  # trace-time switch: baked into the exported program
+            paths = export_tokenizer(model, args.batch, args.outdir,
+                                     platforms=args.platforms)
     for name, path in paths.items():
         print(f"{name}: {path} ({Path(path).stat().st_size/1e6:.1f} MB)")
 

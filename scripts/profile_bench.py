@@ -40,38 +40,72 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--logdir", default="/tmp/bench_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--mode", default="headline",
+                    choices=["headline", "train_ae", "train_d"],
+                    help="headline: encode+decode inference; train_ae / "
+                         "train_d: the split GAN training phases "
+                         "(bench_train_breakdown.build, bf16 D)")
     args = ap.parse_args()
 
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
     import jax
     import jax.numpy as jnp
-    from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
 
-    enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072)
-    model = ViTVQ(image_size=256, patch_size=8, encoder=enc, decoder=enc,
-                  quantizer=dict(embed_dim=32, n_embed=8192),
-                  dtype="bfloat16")
-    module, variables = model.module, model.variables
+    if args.mode == "headline":
+        from enhancing_tpu.models.stage1.vitvqgan import ViTVQ
 
-    def step_fn(v, x, i):
-        codes = module.apply(v, x, method="encode_codes")
-        out = module.apply(v, codes, method="decode_codes")
-        return jnp.clip(out + i * 1e-5, 0.0, 1.0)
+        enc = dict(dim=768, depth=12, heads=12, mlp_dim=3072)
+        model = ViTVQ(image_size=256, patch_size=8, encoder=enc, decoder=enc,
+                      quantizer=dict(embed_dim=32, n_embed=8192),
+                      dtype="bfloat16")
+        module, variables = model.module, model.variables
 
-    step = jax.jit(step_fn)
-    x = jax.random.uniform(jax.random.PRNGKey(0),
-                           (args.batch, 256, 256, 3), jnp.float32)
-    # compile + one warm iteration outside the trace
-    x = step(variables, x, jnp.float32(0))
-    float(jnp.sum(x))
+        def step_fn(v, x, i):
+            codes = module.apply(v, x, method="encode_codes")
+            out = module.apply(v, codes, method="decode_codes")
+            return jnp.clip(out + i * 1e-5, 0.0, 1.0)
 
-    os.makedirs(args.logdir, exist_ok=True)
-    jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
-    for i in range(args.iters):
-        x = step(variables, x, jnp.float32(1 + i))
-    float(jnp.sum(x))
-    jax.profiler.stop_trace()
+        step = jax.jit(step_fn)
+        x = jax.random.uniform(jax.random.PRNGKey(0),
+                               (args.batch, 256, 256, 3), jnp.float32)
+        # compile + one warm iteration outside the trace
+        x = step(variables, x, jnp.float32(0))
+        float(jnp.sum(x))
+
+        os.makedirs(args.logdir, exist_ok=True)
+        jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
+        for i in range(args.iters):
+            x = step(variables, x, jnp.float32(1 + i))
+        float(jnp.sum(x))
+        jax.profiler.stop_trace()
+    else:
+        # GAN training phase (the README breakdown's ae/d programs, bf16 D)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_train_breakdown import build
+
+        if args.batch == 128:  # headline default is wrong for training
+            args.batch = 8
+        remat = args.batch >= 32
+        model, state, ae_step, disc_step = build(args.batch, remat=remat,
+                                                 disc_bf16=True)
+        x = jax.random.uniform(jax.random.PRNGKey(0),
+                               (args.batch, 256, 256, 3), jnp.bfloat16)
+        rng, temp = jax.random.PRNGKey(1), jnp.float32(1.0)
+        fn = (lambda s: ae_step(s, x, rng, temp)) if args.mode == "train_ae" \
+            else (lambda s: disc_step(s, x, rng, temp, do_r1=False))
+        # the steps donate their state: run on copies, keep the original
+        s = fn(jax.tree.map(jnp.copy, state))[0]
+        float(jnp.sum(jnp.asarray(s.step, jnp.float32)))
+        del s
+
+        os.makedirs(args.logdir, exist_ok=True)
+        jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
+        s = jax.tree.map(jnp.copy, state)
+        for i in range(args.iters):
+            s = fn(s)[0]
+        float(jnp.sum(jnp.asarray(s.step, jnp.float32)))
+        jax.profiler.stop_trace()
 
     traces = sorted(glob.glob(
         os.path.join(args.logdir, "**", "*.trace.json.gz"), recursive=True),

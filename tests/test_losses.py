@@ -339,3 +339,31 @@ def test_lpips_loader_golden_vs_torch(tmp_path, rng):
     ours = module.apply({"params": params}, jnp.asarray(x), jnp.asarray(y))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_r1_chunked_matches_unchunked(rng):
+    """r1_chunk sub-batches the gradient penalty (rematerialized lax.map):
+    identical loss AND identical second-order disc grads to the one-shot
+    R1 — it is purely a memory knob."""
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    xrec = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    whole = VQLPIPSWithDiscriminator(image_size=32, disc_loss="vanilla",
+                                     adversarial_weight=0.1)
+    chunked = VQLPIPSWithDiscriminator(image_size=32, disc_loss="vanilla",
+                                       adversarial_weight=0.1, r1_chunk=2)
+    # same D params on both objects (seeded identically)
+    dp = whole.disc_init_params
+
+    def d_loss(obj):
+        def f(params):
+            loss, _ = obj.discriminator_loss(params, x, xrec, 1.0,
+                                             do_r1=True)
+            return loss
+        return f
+
+    l_w, g_w = jax.value_and_grad(d_loss(whole))(dp)
+    l_c, g_c = jax.value_and_grad(d_loss(chunked))(dp)
+    np.testing.assert_allclose(float(l_c), float(l_w), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

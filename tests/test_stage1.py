@@ -239,3 +239,68 @@ def test_encoder_accepts_ffn_impl_field(rng):
     img = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
     params = enc.init(jax.random.PRNGKey(0), img)
     assert enc.apply(params, img).shape == (1, 16, 64)
+
+
+def test_w8a8_gemms_mode_feedforward_matches_manual(rng):
+    """ops/int8.w8a8_gemms: the FFN's fc1/fc2 route through the int8 MXU
+    path with the SAME param tree. Pin the exact semantics against a manual
+    LN -> quantize -> int8 dot -> rescale chain built from the quantize
+    helpers (wiring test: right weights, right activation order)."""
+    from enhancing_tpu.models.stage1.layers import FeedForward, _LNParams
+    from enhancing_tpu.ops.int8 import (quantize_channelwise, quantize_rows,
+                                        w8a8_gemms)
+    from enhancing_tpu.ops.ln_gemm import layernorm_xla
+
+    ff = FeedForward(64, 128)
+    x = jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(64), jnp.float32)
+    bt = jnp.asarray(0.1 * rng.standard_normal(64), jnp.float32)
+    params = ff.init(jax.random.PRNGKey(0), x, ln=(g, bt))
+    want_bf = ff.apply(params, x, ln=(g, bt))
+    with w8a8_gemms():
+        got = ff.apply(params, x, ln=(g, bt))
+    # engaged: int8 quantization moves the output measurably
+    assert not np.allclose(np.asarray(got), np.asarray(want_bf), atol=1e-6)
+
+    def w8a8_dot(a, w):
+        aq, sa = quantize_rows(a)
+        wq, sw = quantize_channelwise(w)
+        acc = jax.lax.dot_general(
+            aq.reshape(-1, a.shape[-1]), wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (sa.reshape(-1, 1) * sw[None, :])
+        return out.reshape(*a.shape[:-1], w.shape[-1])
+
+    p = params["params"]
+    xn = layernorm_xla(x, g, bt)
+    h = jnp.tanh(w8a8_dot(xn, p["fc1"]["kernel"])
+                 + p["fc1"]["bias"][None, None, :])
+    want = w8a8_dot(h, p["fc2"]["kernel"]) + p["fc2"]["bias"][None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_w8a8_gemms_mode_roundtrip_and_env(rng, monkeypatch):
+    """Tiny ViTVQ encode/decode under the W8A8 mode: codes mostly match the
+    bf16 codes, reconstruction stays close; the env twin
+    ENHANCING_TPU_STAGE1_GEMM=w8a8 enables the same routing."""
+    from enhancing_tpu.ops.int8 import w8a8_gemms
+
+    m = tiny_module()
+    img = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), img)
+    codes_bf = m.apply(vs, img, method="encode_codes")
+    rec_bf = m.apply(vs, codes_bf, method="decode_codes")
+    with w8a8_gemms():
+        codes_q = m.apply(vs, img, method="encode_codes")
+        rec_q = m.apply(vs, codes_q, method="decode_codes")
+    # random-init tiny model: int8 rounding can flip a few argmins — the
+    # strict numerics gate runs at base dims (scripts/bench_int8_stage1.py)
+    match = float(jnp.mean((codes_q == codes_bf).astype(jnp.float32)))
+    assert match > 0.7, match
+    assert np.isfinite(np.asarray(rec_q)).all()
+    assert float(jnp.mean(jnp.abs(rec_q - rec_bf))) < 0.1
+
+    monkeypatch.setenv("ENHANCING_TPU_STAGE1_GEMM", "w8a8")
+    codes_env = m.apply(vs, img, method="encode_codes")
+    np.testing.assert_array_equal(np.asarray(codes_env), np.asarray(codes_q))
