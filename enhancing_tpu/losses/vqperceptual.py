@@ -137,7 +137,11 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
         # r1_chunk images (rematerialized lax.map) — the R1 step's
         # second-order residuals, not the D update itself, are what OOMs
         # large batches (b32 measured: the plain D phase fits, +R1 does
-        # not). None = whole batch in one shot.
+        # not). None = whole batch in one shot. r1_chunk must be a
+        # multiple of the minibatch-stddev group size (4 for batches ≥ 4)
+        # and divide the batch: the stddev channel couples images within
+        # a group, so only whole-group chunks keep the chunked penalty
+        # bit-identical to the one-shot one (misaligned sizes raise).
         self.r1_chunk = r1_chunk
 
         disc_params = dict(disc_params or {})
@@ -207,15 +211,42 @@ class VQLPIPSWithDiscriminator(VQLPIPS):
                     return jnp.sum(jnp.square(g), axis=(1, 2, 3))
 
                 b = x.shape[0]
-                if self.r1_chunk and b > self.r1_chunk \
-                        and b % self.r1_chunk == 0:
+                if self.r1_chunk and b > self.r1_chunk:
+                    # minibatch-stddev (discriminator.py:144-157) couples
+                    # images within a group of `group`, and the groups are
+                    # STRIDED over the batch (image i is in group
+                    # i % n_groups, from the (group, n_groups) reshape) —
+                    # a contiguous sub-batch of the raw batch computes a
+                    # different stddev channel, i.e. a different function.
+                    # Exact chunking: gather each group contiguous and map
+                    # over whole groups; D(one group) reproduces the
+                    # full-batch grouping exactly, and sum-of-groups equals
+                    # the full-batch sum (D output i depends only on group
+                    # i's images).
+                    group = min(b, 4)
+                    group = b // (b // group)
+                    if self.r1_chunk % group != 0 or b % self.r1_chunk != 0:
+                        raise ValueError(
+                            f"r1_chunk={self.r1_chunk} must divide the "
+                            f"batch ({b}) and be a multiple of the "
+                            f"minibatch-stddev group size ({group}): the "
+                            "stddev channel couples images within a group, "
+                            "so only whole-group chunks keep chunked R1 "
+                            "identical to the one-shot penalty.")
+                    n_groups = b // group
+                    k = self.r1_chunk // group
+                    # group-major reorder: xg[j] = group j's members
+                    xg = jnp.moveaxis(
+                        x.reshape(group, n_groups, *x.shape[1:]), 0, 1)
+                    chunks = xg.reshape(-1, k, group, *x.shape[1:])
                     # sub-batch the penalty: jax.checkpoint keeps only one
                     # chunk's second-order residuals live at a time when
                     # the outer grad (w.r.t. disc_params) sweeps back
                     # through the lax.map
-                    chunks = x.reshape(-1, self.r1_chunk, *x.shape[1:])
-                    norms = jax.lax.map(jax.checkpoint(sq_grad_norms),
-                                        chunks).reshape(-1)
+                    norms = jax.lax.map(
+                        jax.checkpoint(
+                            lambda ch: jax.vmap(sq_grad_norms)(ch)),
+                        chunks).reshape(-1)
                 else:
                     norms = sq_grad_norms(x)
             grad_norm = jnp.mean(norms)

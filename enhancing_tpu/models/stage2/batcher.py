@@ -43,19 +43,28 @@ def _host_async(x) -> None:
         pass
 
 
-@functools.partial(jax.jit, donate_argnames=("cache",))
-def _scatter_slot(cache, cache1, slot):
-    """Write a batch-1 cache into row ``slot`` of the pool cache, in place
-    (the pool is donated — without donation every admission would COPY the
-    whole multi-GB KV pool for a one-row update). Generic over the cache
-    keys (int8 caches carry k_scale/v_scale too); batch is axis 1 of every
-    entry."""
+@functools.partial(jax.jit, donate_argnames=("cache", "tok", "steps"))
+def _commit_admission(cache, cache1, tok, item0, steps, slot):
+    """Fold one admission into the pool state in a SINGLE program: write the
+    batch-1 cache into row ``slot`` (in place — the pool is donated; without
+    donation every admission would COPY the whole multi-GB KV pool for a
+    one-row update), seed the slot's item, and reset its step counter.
+    One fused program instead of three tiny ones: each host-issued program
+    costs a dispatch through the relay, and admissions sit on the serving
+    loop's critical path. Generic over the cache keys (int8 caches carry
+    k_scale/v_scale too; batch is axis 1 of every entry) and over the item
+    shape (GPT (1,) token / RQ (1, D) column; slot axis 0 of ``tok``)."""
     def put(pool, one):
         idx = (0, slot) + (0,) * (pool.ndim - 2)
         return jax.lax.dynamic_update_slice(pool, one.astype(pool.dtype),
                                             idx)
 
-    return jax.tree.map(put, cache, cache1)
+    cache = jax.tree.map(put, cache, cache1)
+    tok = jax.lax.dynamic_update_slice(
+        tok, item0.astype(tok.dtype), (slot,) + (0,) * (tok.ndim - 1))
+    steps = jax.lax.dynamic_update_index_in_dim(
+        steps, jnp.ones((), steps.dtype), slot, 0)
+    return cache, tok, steps
 
 
 class _SlotPool:
@@ -63,8 +72,9 @@ class _SlotPool:
 
     Subclasses define ``_admit_device(cond1, rng) -> (item (1, ...), cache1)``
     and ``_step_device(active, rng) -> items (B, ...)`` (advancing
-    ``self._tok/self._steps/self._cache`` in place), plus
-    ``self.seq_len`` — sequence length in items.
+    ``self._tok/self._steps/self._cache`` in place), initialize
+    ``self._tok`` (slot axis 0), and set ``self.seq_len`` — sequence
+    length in items.
     """
 
     def __init__(self, module, variables: Dict[str, Any], num_slots: int,
@@ -72,7 +82,7 @@ class _SlotPool:
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 pipeline: bool = False) -> None:
+                 pipeline: int = 0) -> None:
         self.module = module
         self.variables = variables
         self.num_slots = int(num_slots)
@@ -81,17 +91,21 @@ class _SlotPool:
         self._top_p = top_p
         self._rng = rng
         self.mesh = mesh
-        # pipeline=True overlaps host bookkeeping with device compute:
-        # step() ISSUES dispatch k+1 before fetching dispatch k's items, so
-        # the device runs scans back-to-back and the host<->device round
-        # trip (large on a network-attached chip) leaves the critical path.
-        # Correct because a row finishing mid-flight freezes ON DEVICE
-        # (steps clamps at the sequence length) — the stale active mask
-        # costs nothing; the only price is that a freed slot idles for one
-        # extra dispatch before its replacement's first decode. Completions
-        # therefore surface one step() call later than they finished.
-        self._pipeline = bool(pipeline)
-        self._pending: Optional[Tuple[Any, List[Optional[int]]]] = None
+        # pipeline depth D >= 1 overlaps host bookkeeping with device
+        # compute: step() keeps up to D dispatches in flight and only
+        # fetches the OLDEST when the queue exceeds D, so the device runs
+        # scans back-to-back and the host<->device round trip (large on a
+        # network-attached chip) leaves the critical path; D >= 2 also
+        # rides out host-side hiccups (admission prefills, result
+        # processing) without the device going idle. Correct because a row
+        # finishing mid-flight freezes ON DEVICE (steps clamps at the
+        # sequence length) — the stale active mask costs nothing; the only
+        # price is that a freed slot idles for up to D extra dispatches
+        # before its replacement's first decode. Completions therefore
+        # surface up to D step() calls later than they finished.
+        # (pipeline=True is accepted as depth 1 for back-compat.)
+        self._pipe_depth = int(pipeline)
+        self._pending: List[Tuple[Any, List[Optional[int]]]] = []
         self._cache = module.apply(variables, self.num_slots,
                                    method="init_cache")
         self._steps = jnp.zeros((self.num_slots,), jnp.int32)
@@ -139,9 +153,9 @@ class _SlotPool:
         self._rng, sub = jax.random.split(self._rng)
         cond1 = jnp.asarray(cond, jnp.int32).reshape(1, -1)
         item0, cache1 = self._admit_device(cond1, sub)
-        self._cache = _scatter_slot(self._cache, cache1, jnp.int32(slot))
-        self._set_slot_item(slot, item0)
-        self._steps = self._steps.at[slot].set(1)
+        self._cache, self._tok, self._steps = _commit_admission(
+            self._cache, cache1, self._tok, item0, self._steps,
+            jnp.int32(slot))
         rid = self._next_id
         self._next_id += 1
         self._slot_req[slot] = rid
@@ -164,29 +178,34 @@ class _SlotPool:
         Returns the requests that completed during this call as
         ``(request_id, codes)`` — (T,) int32 for GPT, (T, D) for RQ.
 
-        With ``pipeline=True`` the next dispatch is issued BEFORE the
-        previous dispatch's items are fetched, so completions surface one
-        ``step()`` call later than they were decoded (``flush()`` drains
-        the last in-flight dispatch without issuing a new one).
+        With pipeline depth D >= 1, up to D dispatches stay in flight:
+        step() issues a new dispatch first and then fetches only the
+        oldest one past the depth, so completions surface up to D
+        ``step()`` calls later than they were decoded (``flush()`` drains
+        all in-flight dispatches without issuing new ones).
         """
-        prev = self._pending
-        self._pending = None
         active_host = np.array([r is not None for r in self._slot_req])
-        if active_host.any():
+        issued = bool(active_host.any())
+        if issued:
             self._rng, sub = jax.random.split(self._rng)
             items = self._step_device(jnp.asarray(active_host), sub, int(n))
-            if self._pipeline:
-                _host_async(items)
-                self._pending = (items, list(self._slot_req))
-            else:
-                prev = (items, list(self._slot_req))
-        return self._process(prev)
+            _host_async(items)
+            self._pending.append((items, list(self._slot_req)))
+        out: List[Tuple[int, np.ndarray]] = []
+        # nothing active to keep the device busy -> drain everything
+        # (otherwise run_until_done would spin on the tail of the queue)
+        depth = self._pipe_depth if issued else 0
+        while len(self._pending) > depth:
+            out.extend(self._process(self._pending.pop(0)))
+        return out
 
     def flush(self) -> List[Tuple[int, np.ndarray]]:
-        """Fetch the in-flight pipelined dispatch (if any) without issuing
-        a new one. No-op unless ``pipeline=True``."""
-        prev, self._pending = self._pending, None
-        return self._process(prev)
+        """Fetch every in-flight pipelined dispatch without issuing new
+        ones. No-op at pipeline depth 0."""
+        out: List[Tuple[int, np.ndarray]] = []
+        while self._pending:
+            out.extend(self._process(self._pending.pop(0)))
+        return out
 
     def _process(self, batch) -> List[Tuple[int, np.ndarray]]:
         """Fold one dispatch's fetched items into per-request results.
@@ -220,7 +239,7 @@ class _SlotPool:
         out: List[Tuple[int, np.ndarray]] = []
         n = 0
         while (any(r is not None for r in self._slot_req)
-               or self._pending is not None):
+               or self._pending):
             out.extend(self.step())
             n += 1
             if max_steps is not None and n >= max_steps:
@@ -295,9 +314,6 @@ class ContinuousGPTBatcher(_SlotPool):
     def _admit_device(self, cond1, rng):
         return _gpt_admit(self.module, self.variables, cond1, rng,
                           self._temperature, self._top_k, self._top_p)
-
-    def _set_slot_item(self, slot, item0):
-        self._tok = self._tok.at[slot].set(item0[0])
 
     def _step_device(self, active, rng, n):
         tok, steps, cache, toks = _gpt_ragged_step(
@@ -390,9 +406,6 @@ class ContinuousRQBatcher(_SlotPool):
     def _admit_device(self, cond1, rng):
         return _rq_admit(self.module, self.variables, cond1, rng,
                          self._temperature, self._top_k, self._top_p)
-
-    def _set_slot_item(self, slot, item0):
-        self._tok = self._tok.at[slot].set(item0[0])
 
     def _step_device(self, active, rng, n):
         tok, steps, cache, cols = _rq_ragged_step(

@@ -81,7 +81,16 @@ def drop_quantized_kernels(variables: Dict[str, Any]) -> Dict[str, Any]:
 
     NOT valid for RQTransformer: its depth stack samples by full recompute
     (``Block.__call__`` + plain Dense head, layers.py depth_forward), which
-    still reads the bf16 kernels.
+    still reads the bf16 kernels — dropping them would silently corrupt the
+    depth logits, so an RQ param tree (detected by its ``pos_emb_depth``
+    parameter) raises here.
     """
+    params = variables["params"]
+    if "pos_emb_depth" in params:
+        raise ValueError(
+            "drop_quantized_kernels is not valid for RQTransformer: the "
+            "depth stack's sampling path (depth_forward) reads the bf16 "
+            "kernels directly, so dropping them would produce wrong logits, "
+            "not save memory. Serve RQ with quantize_decode_params alone.")
     return {**variables,
-            "params": _drop(variables["params"], variables.get("quant", {}))}
+            "params": _drop(params, variables.get("quant", {}))}

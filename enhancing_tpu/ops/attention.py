@@ -1497,8 +1497,10 @@ def _decode_blocks(b: int, m: int, hd: int, block_k: int,
                 break  # largest feasible block_b for this (nh, bk)
     if best is None:
         # nothing fits even at max head split: smallest legal block —
-        # correctness over throughput
-        best = (b if sublane8 else 1, min(128, m), max(nh_cands))
+        # correctness over throughput (sublane8 requires block_b to be a
+        # multiple of 8 OR b itself; pick whichever is smaller)
+        block_b = (8 if b % 8 == 0 else b) if sublane8 else 1
+        best = (block_b, min(128, m), max(nh_cands))
     return best
 
 

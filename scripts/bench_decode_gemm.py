@@ -20,9 +20,7 @@ Appends decode_gemm rows to BENCH_EXTENDED.json.
 Usage: python scripts/bench_decode_gemm.py [--m 4 8 32]
 """
 import argparse
-import statistics
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -48,39 +46,9 @@ def main():
     from enhancing_tpu.ops import int8 as q8
     from enhancing_tpu.utils.bench_log import record
 
-    def timed_scan(fn, x0, n, extras=()):
-        """Median per-iter time of fn chained n times inside one program,
-        with the program-entry/dispatch cost subtracted via a 2n-length
-        run (same executable family, same transfer).
-
-        ``extras``: big operands (weights, caches) threaded as jit ARGS —
-        closing over them bakes them into the HLO as constants, which the
-        relay rejects (HTTP 413) past ~100MB."""
-        def loop(length):
-            @jax.jit
-            def run(x, *ops):
-                def body(c, _):
-                    y = fn(c, *ops)
-                    # fold the output back so iterations serialize
-                    return (c + jnp.sum(y[:1, :8]).astype(c.dtype)
-                            * jnp.asarray(1e-12, c.dtype)), None
-                c, _ = jax.lax.scan(body, x, None, length=length)
-                return c
-            return run
-
-        run_n, run_2n = loop(n), loop(2 * n)
-        for r in (run_n, run_2n):
-            float(jnp.sum(r(x0, *extras).astype(jnp.float32)))  # compile
-        ts = []
-        for t in range(3):
-            xt = x0 + jnp.asarray(t * 1e-6, x0.dtype)
-            t0 = time.perf_counter()
-            float(jnp.sum(run_n(xt, *extras).astype(jnp.float32)))
-            t1 = time.perf_counter()
-            float(jnp.sum(run_2n(xt, *extras).astype(jnp.float32)))
-            t2 = time.perf_counter()
-            ts.append(((t2 - t1) - (t1 - t0)) / n)
-        return statistics.median(ts)
+    # noise-guarded chained-scan timer (2n-n subtraction; rescales until
+    # the signal clears the spread, raises rather than report garbage)
+    from enhancing_tpu.utils.timing import timed_scan
 
     if args.part == "ops":
         bench_ops(args, timed_scan, record)

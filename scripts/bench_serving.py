@@ -31,9 +31,13 @@ def main():
                     help="weights-only int8 + int8 KV serving pool")
     ap.add_argument("--only", choices=["all", "lockstep", "continuous"],
                     default="all")
-    ap.add_argument("--pipeline", action="store_true",
-                    help="pipelined batcher: dispatch k+1 issued before "
-                         "fetching k (hides the relay round trip)")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="pipelined batcher depth D: up to D dispatches in "
+                         "flight before fetching the oldest (hides the "
+                         "relay round trip; D>=2 rides out host hiccups)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="steady-state windows per config; the recorded "
+                         "row carries the median + the min-max spread")
     args = ap.parse_args()
 
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
@@ -84,23 +88,29 @@ def main():
 
 def _run_lockstep(args, m, vs, conds, sample_gpt, np, jax, jnp, record,
                   dims, T):
+    import statistics
     import time
     _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(0), top_k=100,
                         with_logits=False)
     np.asarray(out)
-    best = 1e9
-    for i in range(2):
+    rates = []
+    for i in range(max(args.repeats, 2)):
         t0 = time.time()
         _, out = sample_gpt(m, vs, conds, jax.random.PRNGKey(1 + i),
                             top_k=100, with_logits=False)
         np.asarray(out)
-        best = min(best, time.time() - t0)
-    print(f"[lockstep b{args.slots}] {args.slots * T / best:.0f} tok/s",
-          flush=True)
-    record("serving_lockstep", args.slots * T / best, "tok/s", **dims)
+        rates.append(args.slots * T / (time.time() - t0))
+    med = statistics.median(rates)
+    spread = max(rates) - min(rates)
+    print(f"[lockstep b{args.slots}] {med:.0f} tok/s "
+          f"(spread {spread:.0f} over {len(rates)} runs)", flush=True)
+    record("serving_lockstep", med, "tok/s",
+           spread=round(spread, 1), runs=[round(r, 1) for r in rates],
+           **dims)
 
 
 def _run_continuous(args, m, vs, n, jax, jnp, record, dims, T):
+    import statistics
     import time
 
     from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
@@ -108,34 +118,78 @@ def _run_continuous(args, m, vs, n, jax, jnp, record, dims, T):
     b = ContinuousGPTBatcher(m, vs, num_slots=args.slots,
                              rng=jax.random.PRNGKey(7), top_k=100,
                              pipeline=args.pipeline)
+    submit_ts = {}
+
+    def submit(cond_val):
+        rid = b.submit(jnp.asarray([cond_val % 1000], jnp.int32))
+        submit_ts[rid] = time.time()
+        return rid
+
     for s in range(args.slots):
-        b.submit(jnp.asarray([s % 1000], jnp.int32))
+        submit(s)
     # STAGGER: spread the slots across positions by stepping while
     # re-admitting finished rows round-robin for one full sequence
     warm_items = 0
-    produced = 0
     # warmup until the first completion wave passes (compile + fill)
     while warm_items < args.slots:
         for rid, codes in b.step(n):
             warm_items += 1
-            b.submit(jnp.asarray([rid % 1000], jnp.int32))
-    # steady state: measure items/s over 2 full sequence lengths.
-    # Completions counted in the window include tokens decoded before
-    # t0; over 2 full sequences the startup credit is <= 1/2 sequence
-    # per slot and amortizes — good enough for an indicative number.
-    t0 = time.time()
-    target = 2 * args.slots
-    while produced < target:
-        for rid, codes in b.step(n):
-            produced += 1
-            b.submit(jnp.asarray([rid % 1000], jnp.int32))
-    t_end = time.time()
-    tok_s = produced * T / (t_end - t0)
-    tag = " pipelined" if args.pipeline else ""
+            submit(rid)
+    # steady state: measure items/s over `repeats` windows of 2 full
+    # sequence lengths each. Completions counted in a window include
+    # tokens decoded before its t0; over 2 full sequences the startup
+    # credit is <= 1/2 sequence per slot and amortizes. Per-request
+    # completion latency (submit -> surfaced) accumulates across windows —
+    # that's the number continuous batching exists for.
+    rates = []
+    lats = []
+    for _ in range(args.repeats):
+        produced = 0
+        t0 = time.time()
+        target = 2 * args.slots
+        while produced < target:
+            for rid, codes in b.step(n):
+                produced += 1
+                lats.append(time.time() - submit_ts.pop(rid))
+                submit(rid)
+        rates.append(produced * T / (time.time() - t0))
+    med = statistics.median(rates)
+    spread = max(rates) - min(rates)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+    tag = f" pipelined(depth={args.pipeline})" if args.pipeline else ""
     print(f"[continuous b{args.slots} dispatch={n}{tag}] "
-          f"{tok_s:.0f} tok/s steady-state (staggered slots, "
-          f"admissions included)", flush=True)
-    record("serving_continuous", tok_s, "tok/s", dispatch=n,
+          f"{med:.0f} tok/s steady-state (spread {spread:.0f} over "
+          f"{args.repeats} windows; staggered slots, admissions "
+          f"included); request latency p50 {p50:.2f}s p99 {p99:.2f}s "
+          f"({p50 / T * 1e3:.2f} ms/tok p50)", flush=True)
+    record("serving_continuous", med, "tok/s", dispatch=n,
+           pipeline=args.pipeline, spread=round(spread, 1),
+           runs=[round(r, 1) for r in rates],
+           lat_p50_s=round(p50, 3), lat_p99_s=round(p99, 3),
+           n_requests=len(lats), **dims)
+
+    # TTFT: the first token is sampled during the admission prefill, so
+    # time-to-first-token = submit() + materializing the seed token on the
+    # host. Measured on freed slots right after the steady-state windows
+    # (the decode pool stays busy — this is TTFT under load).
+    ttfts = []
+    while len(ttfts) < 5:
+        for rid, codes in b.step(n):
+            submit_ts.pop(rid, None)
+            t0 = time.time()
+            rid2 = b.submit(jnp.asarray([rid % 1000], jnp.int32))
+            float(b._results[rid2][0].astype(jnp.float32).sum())
+            ttfts.append(time.time() - t0)
+            submit_ts[rid2] = time.time()
+            if len(ttfts) >= 5:
+                break
+    ttft = statistics.median(ttfts)
+    print(f"[continuous b{args.slots} dispatch={n}{tag}] TTFT "
+          f"{ttft * 1e3:.0f} ms (median of {len(ttfts)} admissions under "
+          f"load)", flush=True)
+    record("serving_ttft", ttft * 1e3, "ms", dispatch=n,
            pipeline=args.pipeline, **dims)
 
 

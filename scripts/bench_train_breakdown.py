@@ -133,10 +133,100 @@ def algorithmic_flops_b8(reuse_xrec: bool = False) -> tuple:
         return float("nan"), float("nan")
 
 
+def bench_ae_segments(batches, record):
+    """Per-segment timing of the AE phase's pieces (VERDICT r4 #3: the AE
+    phase is 66% of the GAN step and had no breakdown). Each segment is its
+    own chained-scan program (utils/timing.timed_scan), so the numbers
+    localize cost; they need not sum exactly to the phase (fusion across
+    segment boundaries differs), but the fwd/bwd split and the LPIPS/D-fwd
+    shares are what the optimization question needs.
+
+    Every segment's computation consumes the scan carry — otherwise XLA
+    hoists the loop-invariant body and the scan times nothing."""
+    import jax
+    import jax.numpy as jnp
+
+    from enhancing_tpu.utils.timing import timed_scan
+
+    for batch in batches:
+        model, state, _, _ = build(batch, remat=False)
+        module, constants = model.module, model.constants
+        loss_obj = model.loss
+        ae_params = state.ae_params
+        dp = state.disc_params
+        lp = state.lpips_params
+        temp = jnp.float32(1.0)
+        n_embed = module.quantizer["n_embed"]
+
+        x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                                (batch, 256, 256, 3), jnp.bfloat16)
+        codes0 = module.apply({"params": ae_params, "constants": constants},
+                              x0, method="encode_codes")
+
+        def vs(p):
+            return {"params": p, "constants": constants}
+
+        def enc_fwd(c, p):
+            return module.apply(vs(p), c, method="encode_codes")
+
+        def dec_fwd(c, p, codes):
+            # fold the carry into the codes so the decode isn't hoisted
+            shift = (jnp.sum(c[0, 0, 0, :]).astype(jnp.int32) % 2)
+            return module.apply(vs(p), (codes + shift) % n_embed,
+                                method="decode_codes")
+
+        def fwd_training(c, p):
+            xrec, qloss, _, _ = module.apply(vs(p), c, temp, True,
+                                             method="forward_training")
+            return xrec
+
+        def lpips_pair(c, p, lpp):
+            # nll_loss = L1 + L2 + LPIPS (two VGG towers: x and xrec)
+            return loss_obj.nll_loss(x0.astype(jnp.float32), c, lpp)[0]
+
+        def d_fwd(c, dpp):
+            return loss_obj.run_discriminator(dpp, c)
+
+        def ae_loss_fwd(c, p, dpp, lpp):
+            xrec, qloss, _, _ = module.apply(vs(p), c, temp, True,
+                                             method="forward_training")
+            l, _ = loss_obj.generator_loss(qloss, c, xrec, dpp,
+                                           jnp.float32(1.0),
+                                           lpips_params=lpp)
+            return l
+
+        def ae_fwd_bwd(c, p, dpp, lpp):
+            g = jax.grad(lambda pp: ae_loss_fwd(c, pp, dpp, lpp))(p)
+            return jax.tree.leaves(g)[0]
+
+        segs = [
+            ("enc_fwd", enc_fwd, (ae_params,)),
+            ("dec_fwd", dec_fwd, (ae_params, codes0)),
+            ("ae_fwd", fwd_training, (ae_params,)),
+            ("lpips_pair_fwd", lpips_pair, (ae_params, lp)),
+            ("d_fwd", d_fwd, (dp,)),
+            ("ae_loss_fwd", ae_loss_fwd, (ae_params, dp, lp)),
+            ("ae_fwd_bwd", ae_fwd_bwd, (ae_params, dp, lp)),
+        ]
+        out = {}
+        for name, fn, extras in segs:
+            t = timed_scan(fn, x0, 10, extras)
+            out[name] = t
+            print(f"[ae-seg b{batch} {name:15s}] {t * 1e3:7.2f} ms",
+                  flush=True)
+            record("ae_segment_ms", t * 1e3, "ms", batch=batch,
+                   segment=name)
+        bwd = out["ae_fwd_bwd"] - out["ae_loss_fwd"]
+        print(f"[ae-seg b{batch} derived] bwd-only "
+              f"{bwd * 1e3:.2f} ms; loss-overhead (lpips+D fwd) "
+              f"{(out['ae_loss_fwd'] - out['ae_fwd']) * 1e3:.2f} ms",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
-    ap.add_argument("--phase", choices=["all", "ae", "d", "r1"],
+    ap.add_argument("--phase", choices=["all", "ae", "d", "r1", "segments"],
                     default="all",
                     help="time one phase only (per-phase subprocesses keep "
                          "peak HBM down at b32: one held state + one copy "
@@ -151,13 +241,20 @@ def main():
                          "print raw ms only)")
     ap.add_argument("--r1_chunk", type=int, default=None,
                     help="sub-batch the R1 penalty (losses/vqperceptual "
-                         "r1_chunk): fits the b32 R1 step on one chip")
+                         "r1_chunk): fits the b32 R1 step on one chip; "
+                         "must be a multiple of the minibatch-stddev group "
+                         "(4) and divide the batch — whole-group chunks "
+                         "are exact, anything else raises")
     args = ap.parse_args()
     from enhancing_tpu.utils.compile_cache import maybe_enable_from_env
     maybe_enable_from_env()
     import jax
     import jax.numpy as jnp
     from enhancing_tpu.utils.bench_log import record
+
+    if args.phase == "segments":
+        bench_ae_segments(args.batches, record)
+        return
 
     fl_ae_b8, fl_d_b8 = ((float("nan"), float("nan")) if args.no_flops
                          else algorithmic_flops_b8(args.reuse_xrec))

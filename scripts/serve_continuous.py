@@ -187,10 +187,11 @@ def main(argv=None):
                         "param + cache HBM reads of the bandwidth-bound "
                         "decode (GPT also drops the bf16 kernel copies; "
                         "the RQ depth stack still recomputes through them)")
-    p.add_argument("--pipeline", action="store_true",
+    p.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
                    help="overlap host bookkeeping with device compute: "
-                        "issue dispatch k+1 before fetching dispatch k "
-                        "(completions surface one dispatch later)")
+                        "keep up to DEPTH dispatches in flight before "
+                        "fetching the oldest (completions surface up to "
+                        "DEPTH dispatches later; 0 = fetch every dispatch)")
     args = p.parse_args(argv)
 
     import jax

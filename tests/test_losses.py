@@ -342,15 +342,17 @@ def test_lpips_loader_golden_vs_torch(tmp_path, rng):
 
 
 def test_r1_chunked_matches_unchunked(rng):
-    """r1_chunk sub-batches the gradient penalty (rematerialized lax.map):
-    identical loss AND identical second-order disc grads to the one-shot
-    R1 — it is purely a memory knob."""
-    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
-    xrec = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    """r1_chunk sub-batches the gradient penalty (rematerialized lax.map)
+    in units of whole minibatch-stddev groups: identical loss AND identical
+    second-order disc grads to the one-shot R1 — purely a memory knob.
+    b=8 has two STRIDED stddev groups ({0,2,4,6} and {1,3,5,7}); chunk=4
+    maps over them one group at a time."""
+    x = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    xrec = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
     whole = VQLPIPSWithDiscriminator(image_size=32, disc_loss="vanilla",
                                      adversarial_weight=0.1)
     chunked = VQLPIPSWithDiscriminator(image_size=32, disc_loss="vanilla",
-                                       adversarial_weight=0.1, r1_chunk=2)
+                                       adversarial_weight=0.1, r1_chunk=4)
     # same D params on both objects (seeded identically)
     dp = whole.disc_init_params
 
@@ -367,3 +369,19 @@ def test_r1_chunked_matches_unchunked(rng):
     for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_w)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_r1_chunk_misaligned_raises(rng):
+    """Chunks that cut through a minibatch-stddev group compute a DIFFERENT
+    function than the full batch (the stddev channel couples images within
+    a group) — misaligned r1_chunk raises instead of silently diverging or
+    silently falling back to the whole-batch (OOM-prone) path."""
+    x = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    xrec = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    for bad_chunk in (2, 3):  # 2: cuts groups of 4; 3: doesn't divide b=8
+        loss = VQLPIPSWithDiscriminator(image_size=32, disc_loss="vanilla",
+                                        adversarial_weight=0.1,
+                                        r1_chunk=bad_chunk)
+        with pytest.raises(ValueError, match="r1_chunk"):
+            loss.discriminator_loss(loss.disc_init_params, x, xrec, 1.0,
+                                    do_r1=True)

@@ -195,12 +195,14 @@ def test_continuous_batcher_matches_lockstep_greedy(gpt):
     np.testing.assert_array_equal(done[rid2], want[2])
 
 
-def test_pipelined_batcher_matches_lockstep_greedy(gpt):
-    """pipeline=True (dispatch k+1 issued before fetching k's items) must
+@pytest.mark.parametrize("depth", [True, 2])
+def test_pipelined_batcher_matches_lockstep_greedy(gpt, depth):
+    """Pipelined dispatch (up to D issued before fetching the oldest) must
     not change ANY request's greedy codes — the stale active mask only
-    covers rows already frozen on device, and the one-dispatch admission
-    lag shifts schedules, never contents. Also pins flush() draining the
-    last in-flight dispatch."""
+    covers rows already frozen on device, and the up-to-D-dispatch
+    admission lag shifts schedules, never contents. Also pins flush()
+    draining every in-flight dispatch. depth=True pins the bool
+    back-compat (== depth 1); depth=2 the deeper queue."""
     from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
     m, vs = gpt
     conds = [jnp.asarray([c], jnp.int32) for c in (1, 4, 7)]
@@ -212,7 +214,7 @@ def test_pipelined_batcher_matches_lockstep_greedy(gpt):
 
     b = ContinuousGPTBatcher(m, vs, num_slots=2,
                              rng=jax.random.PRNGKey(123), top_k=1,
-                             pipeline=True)
+                             pipeline=depth)
     rid0 = b.submit(conds[0])
     for _ in range(3):
         b.step(2)
@@ -230,7 +232,7 @@ def test_pipelined_batcher_matches_lockstep_greedy(gpt):
             done.update(dict(b.flush()))
             break
     done.update(dict(b.flush()))
-    assert b.num_active() == 0 and b._pending is None
+    assert b.num_active() == 0 and not b._pending
     np.testing.assert_array_equal(done[rid0], want[0])
     np.testing.assert_array_equal(done[rid1], want[1])
     np.testing.assert_array_equal(done[rid2], want[2])
@@ -396,6 +398,29 @@ def test_dropped_kernel_int8_serving():
         _, want = sample_gpt(m, qvs, conds, jax.random.PRNGKey(1), top_k=1)
         _, got = sample_gpt(m, dvs, conds, jax.random.PRNGKey(1), top_k=1)
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_drop_quantized_kernels_rejects_rq():
+    """RQTransformer's depth stack samples by full recompute and still reads
+    the bf16 kernels — drop_quantized_kernels on an RQ param tree must raise
+    instead of silently corrupting the depth logits."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from enhancing_tpu.models.stage2 import (RQTransformer,
+                                             drop_quantized_kernels,
+                                             quantize_decode_params)
+
+    rq = RQTransformer(vocab_cond_size=10, vocab_img_size=256, embed_dim=64,
+                       cond_num_tokens=1, img_num_tokens=4,
+                       depth_num_tokens=2, spatial_n_heads=4,
+                       depth_n_heads=4, spatial_n_layers=2, depth_n_layers=2)
+    vs = rq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 2), jnp.int32),
+                 jnp.zeros((1, 1), jnp.int32))
+    qvs = quantize_decode_params(vs)
+    with pytest.raises(ValueError, match="RQTransformer"):
+        drop_quantized_kernels(qvs)
 
 
 def test_sample_without_logits():
