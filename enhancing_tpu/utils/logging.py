@@ -42,6 +42,42 @@ def save_image_grid(images, path: str | Path, nrow: int = 4) -> None:
     Image.fromarray(grid.squeeze() if grid.shape[-1] == 1 else grid).save(path)
 
 
+class JsonlLogger:
+    """Append-only ``metrics.jsonl`` in the run dir: one
+    ``{"step": N, ...metrics}`` object per logged step. The zero-egress
+    stand-in for wandb's scalar history — machine-readable loss/PSNR/
+    code-perplexity trajectories for convergence artifacts."""
+
+    def __init__(self, save_dir: str) -> None:
+        self.path = Path(save_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        import json
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": int(step),
+                                **{k: float(v) for k, v in metrics.items()}},
+                               sort_keys=True) + "\n")
+
+    def log_images(self, tag: str, images, step: int) -> None:
+        pass  # grids go through the ImageLogger callback's local PNGs
+
+
+class MultiLogger:
+    """Fan out log calls to several metric loggers."""
+
+    def __init__(self, *loggers) -> None:
+        self.loggers = [lg for lg in loggers if lg is not None]
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def log_images(self, tag: str, images, step: int) -> None:
+        for lg in self.loggers:
+            lg.log_images(tag, images, step)
+
+
 class WandbLogger:
     """Thin gated wandb wrapper (reference general.py:57)."""
 

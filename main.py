@@ -36,6 +36,9 @@ def main() -> None:
     parser.add_argument("-mp", "--model_parallel", type=int, default=1,
                         help="tensor-parallel size (mesh 'model' axis)")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--log_every", type=int, default=50,
+                        help="scalar-metric cadence (console + "
+                             "metrics.jsonl + wandb), in steps")
     parser.add_argument("--split_gan_step", action="store_true",
                         help="compile AE and discriminator updates as two "
                              "smaller XLA programs (faster compiles)")
@@ -88,7 +91,8 @@ def main() -> None:
     from enhancing_tpu.train import Trainer
     from enhancing_tpu.utils import get_config_from_file, initialize_from_config
     from enhancing_tpu.utils.callback import ImageLogger, SetupCallback
-    from enhancing_tpu.utils.logging import WandbLogger
+    from enhancing_tpu.utils.logging import (JsonlLogger, MultiLogger,
+                                              WandbLogger)
 
     config = get_config_from_file(Path("configs") / f"{args.config}.yaml")
     exp_config = {"name": args.config, "epochs": args.epochs,
@@ -127,6 +131,9 @@ def main() -> None:
     setup_cb = SetupCallback(config.to_dict(), exp_config, basedir)
     wandb_logger = WandbLogger(str(basedir), f"{args.config}_{now}",
                                enabled=True)
+    # metrics.jsonl always: the zero-egress scalar history (loss/PSNR/
+    # code-perplexity trajectories) convergence artifacts are built from
+    metrics_logger = MultiLogger(JsonlLogger(str(basedir)), wandb_logger)
     image_cb = ImageLogger(args.batch_frequency, args.max_images,
                            logdir=basedir / "log", wandb_logger=wandb_logger)
 
@@ -145,9 +152,10 @@ def main() -> None:
                       basedir=str(basedir), seed=args.seed, mesh=mesh,
                       callbacks=[setup_cb, image_cb],
                       max_steps=args.max_steps,
+                      log_every=args.log_every,
                       split_gan_step=args.split_gan_step,
                       reuse_xrec=args.reuse_xrec,
-                      metrics_logger=wandb_logger,
+                      metrics_logger=metrics_logger,
                       zero1=args.zero1,
                       sp=args.sp,
                       pipeline_parallel=args.pipeline_parallel,

@@ -68,8 +68,28 @@ def bench_gemm():
                                       preferred_element_type=jnp.int32)
             return (acc * (sx * w_scale[None, :])).astype(jnp.bfloat16)
 
+        # control: the raw int8 x int8 -> int32 dot with activations
+        # PRE-quantized — isolates the MXU int8 path from the dynamic
+        # activation-quant pass, deciding whether a fused quant+dot kernel
+        # could ever win (if even this is not ~2x bf16, int8 compute is a
+        # dead end for the stage-1 GEMMs on this chip)
+        x_pre = jnp.clip(
+            jnp.round(jax.random.normal(key, (m, d), jnp.float32) * 40),
+            -127, 127).astype(jnp.int8)
+
+        @jax.jit
+        def int8_dot_only(xq, i):
+            xq = xq + (i.astype(jnp.int8) - i.astype(jnp.int8))  # unique arg
+            acc = jax.lax.dot_general(xq, w_q, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * w_scale[None, :]
+                    ).astype(jnp.bfloat16)
+
         flops = 2 * m * d * n
-        for name, fn in (("bf16", bf16_gemm), ("int8-W8A8", int8_gemm)):
+        for name, fn in (("bf16", bf16_gemm), ("int8-W8A8", int8_gemm),
+                         ("int8-dot-only", int8_dot_only)):
+            if name == "int8-dot-only":
+                x = x_pre
             out = fn(x, jnp.bfloat16(0))
             _sync(out[:1])
             ts = []

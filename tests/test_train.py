@@ -340,6 +340,33 @@ def test_validation_images_and_metrics_logged(tmp_path):
     assert any("val/rec_loss" in m for _, m in rec.metrics)
 
 
+def test_jsonl_metrics_logger(tmp_path):
+    """JsonlLogger writes one {"step", ...metrics} object per logged step
+    into <run_dir>/metrics.jsonl — the zero-egress scalar history the
+    convergence artifacts are built from (main.py wires it alongside the
+    gated wandb logger via MultiLogger)."""
+    import json
+
+    from enhancing_tpu.utils.logging import JsonlLogger, MultiLogger
+
+    rec = _RecordingLogger()
+    jl = JsonlLogger(str(tmp_path))
+    model = ViTVQ(image_size=32, patch_size=8, encoder=TINY, decoder=TINY,
+                  quantizer=Q,
+                  loss={"target": "enhancing_tpu.losses.vqperceptual.VQLPIPS",
+                        "params": {"image_size": 32,
+                                   "perceptual_weight": 0.0}})
+    trainer = Trainer(max_epochs=1, base_lr=1e-4, log_every=1, max_steps=3,
+                      metrics_logger=MultiLogger(jl, rec))
+    trainer.fit(model, build_data())
+    rows = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    train_rows = [r for r in rows if "train/total_loss" in r]
+    assert len(train_rows) >= 3
+    assert all(isinstance(r["step"], int) for r in rows)
+    # the fan-out logger delivered the same metrics to both sinks
+    assert any("train/total_loss" in m for _, m in rec.metrics)
+
+
 def test_auto_resume_continues_from_checkpoint(tmp_path):
     """Trainer(resume=True) restores the newest checkpoint, recovers
     global_step from the train-state counter, and the resumed run's params
