@@ -43,17 +43,33 @@ def _host_async(x) -> None:
         pass
 
 
-@functools.partial(jax.jit, donate_argnames=("cache", "tok", "steps"))
-def _commit_admission(cache, cache1, tok, item0, steps, slot):
-    """Fold one admission into the pool state in a SINGLE program: write the
-    batch-1 cache into row ``slot`` (in place — the pool is donated; without
-    donation every admission would COPY the whole multi-GB KV pool for a
-    one-row update), seed the slot's item, and reset its step counter.
-    One fused program instead of three tiny ones: each host-issued program
-    costs a dispatch through the relay, and admissions sit on the serving
-    loop's critical path. Generic over the cache keys (int8 caches carry
-    k_scale/v_scale too; batch is axis 1 of every entry) and over the item
-    shape (GPT (1,) token / RQ (1, D) column; slot axis 0 of ``tok``)."""
+@functools.partial(jax.jit,
+                   static_argnames=("admit", "module", "temperature",
+                                    "top_k", "top_p"),
+                   donate_argnames=("cache", "tok", "steps"))
+def _admit_commit(admit, module, variables, cond1, rng, cache, tok, steps,
+                  slot, temperature, top_k, top_p):
+    """One admission in ONE device program: batch-1 prefill + seed draw
+    (``admit`` — the GPT/RQ-specific function), then fold the result into
+    the pool state: write the batch-1 cache into row ``slot`` (in place —
+    the pool is donated; without donation every admission would COPY the
+    whole multi-GB KV pool for a one-row update), seed the slot's item,
+    and reset its step counter.
+
+    ONE fused program instead of a prefill program plus a commit program:
+    every host-issued program costs a dispatch through the relay
+    (~10-20 ms), admissions sit on the serving loop's critical path, and
+    the measured r4 continuous-vs-lockstep gap was ~1 admission cost per
+    dispatch. The RNG advances INSIDE the program and the new key is
+    returned — a host-side ``jax.random.split`` would itself be one more
+    tiny relay program per admission. Generic over the cache keys (int8
+    caches carry k_scale/v_scale too; batch is axis 1 of every entry) and
+    over the item shape (GPT (1,) token / RQ (1, D) column; slot axis 0 of
+    ``tok``)."""
+    rng, sub = jax.random.split(rng)
+    item0, cache1 = admit(module, variables, cond1, sub, temperature,
+                          top_k, top_p)
+
     def put(pool, one):
         idx = (0, slot) + (0,) * (pool.ndim - 2)
         return jax.lax.dynamic_update_slice(pool, one.astype(pool.dtype),
@@ -64,15 +80,17 @@ def _commit_admission(cache, cache1, tok, item0, steps, slot):
         tok, item0.astype(tok.dtype), (slot,) + (0,) * (tok.ndim - 1))
     steps = jax.lax.dynamic_update_index_in_dim(
         steps, jnp.ones((), steps.dtype), slot, 0)
-    return cache, tok, steps
+    return rng, cache, tok, steps, item0
 
 
 class _SlotPool:
     """Slot bookkeeping shared by the GPT and RQ batchers.
 
-    Subclasses define ``_admit_device(cond1, rng) -> (item (1, ...), cache1)``
-    and ``_step_device(active, rng) -> items (B, ...)`` (advancing
-    ``self._tok/self._steps/self._cache`` in place), initialize
+    Subclasses set ``_admit_fn`` (a pure
+    ``(module, variables, cond1, rng, temperature, top_k, top_p) ->
+    (item (1, ...), cache1)`` traced inside the fused admission program),
+    define ``_step_device(active, n) -> items (n, B, ...)`` (advancing
+    ``self._tok/self._steps/self._cache/self._rng`` in place), initialize
     ``self._tok`` (slot axis 0), and set ``self.seq_len`` — sequence
     length in items.
     """
@@ -144,18 +162,22 @@ class _SlotPool:
         return self.num_slots - self.free_slots()
 
     def submit(self, cond: jax.Array) -> int:
-        """Admit one request; returns its id. Raises if no slot is free."""
+        """Admit one request; returns its id. Raises if no slot is free.
+
+        One fused device program (prefill + seed draw + pool commit, RNG
+        advanced inside — see ``_admit_commit``); the host issues nothing
+        else."""
         try:
             slot = self._slot_req.index(None)
         except ValueError:
             raise RuntimeError("no free slot — call step() until one "
                                "completes") from None
-        self._rng, sub = jax.random.split(self._rng)
         cond1 = jnp.asarray(cond, jnp.int32).reshape(1, -1)
-        item0, cache1 = self._admit_device(cond1, sub)
-        self._cache, self._tok, self._steps = _commit_admission(
-            self._cache, cache1, self._tok, item0, self._steps,
-            jnp.int32(slot))
+        (self._rng, self._cache, self._tok, self._steps,
+         item0) = _admit_commit(
+            type(self)._admit_fn, self.module, self.variables, cond1,
+            self._rng, self._cache, self._tok, self._steps,
+            jnp.int32(slot), self._temperature, self._top_k, self._top_p)
         rid = self._next_id
         self._next_id += 1
         self._slot_req[slot] = rid
@@ -187,8 +209,10 @@ class _SlotPool:
         active_host = np.array([r is not None for r in self._slot_req])
         issued = bool(active_host.any())
         if issued:
-            self._rng, sub = jax.random.split(self._rng)
-            items = self._step_device(jnp.asarray(active_host), sub, int(n))
+            # the RNG advances inside the step program (the final scan key
+            # comes back as an output) — a host-side random.split here
+            # would be one extra relay program per dispatch
+            items = self._step_device(jnp.asarray(active_host), int(n))
             _host_async(items)
             self._pending.append((items, list(self._slot_req)))
         out: List[Tuple[int, np.ndarray]] = []
@@ -287,9 +311,9 @@ def _gpt_ragged_step(module, variables, tok, steps, active, cache, rng, n,
         steps = jnp.where(live, steps + 1, steps)
         return (nxt, steps, cache, rng), nxt
 
-    (tok, steps, cache, _), toks = jax.lax.scan(
+    (tok, steps, cache, rng), toks = jax.lax.scan(
         body, (tok, steps, cache, rng), None, length=n)
-    return tok, steps, cache, toks
+    return tok, steps, cache, rng, toks
 
 
 class ContinuousGPTBatcher(_SlotPool):
@@ -311,16 +335,15 @@ class ContinuousGPTBatcher(_SlotPool):
             self._tok = jax.device_put(self._tok, self._row1)
         self.seq_len = module.img_num_tokens
 
-    def _admit_device(self, cond1, rng):
-        return _gpt_admit(self.module, self.variables, cond1, rng,
-                          self._temperature, self._top_k, self._top_p)
+    _admit_fn = staticmethod(_gpt_admit)
 
-    def _step_device(self, active, rng, n):
-        tok, steps, cache, toks = _gpt_ragged_step(
+    def _step_device(self, active, n):
+        tok, steps, cache, rng, toks = _gpt_ragged_step(
             self.module, self.variables, self._tok, self._steps, active,
-            self._cache, rng, n, self._temperature, self._top_k,
+            self._cache, self._rng, n, self._temperature, self._top_k,
             self._top_p)
-        self._tok, self._steps, self._cache = tok, steps, cache
+        self._tok, self._steps, self._cache, self._rng = (tok, steps,
+                                                          cache, rng)
         return toks
 
 
@@ -380,9 +403,9 @@ def _rq_ragged_step(module, variables, prev_codes, steps, active, cache,
         steps = jnp.where(live, steps + 1, steps)
         return (codes, steps, cache, rng), codes
 
-    (prev_codes, steps, cache, _), cols = jax.lax.scan(
+    (prev_codes, steps, cache, rng), cols = jax.lax.scan(
         body, (prev_codes, steps, cache, rng), None, length=n)
-    return prev_codes, steps, cache, cols
+    return prev_codes, steps, cache, rng, cols
 
 
 class ContinuousRQBatcher(_SlotPool):
@@ -403,14 +426,13 @@ class ContinuousRQBatcher(_SlotPool):
                 self._tok, NamedSharding(self.mesh, P(DATA_AXIS, None)))
         self.seq_len = module.img_num_tokens
 
-    def _admit_device(self, cond1, rng):
-        return _rq_admit(self.module, self.variables, cond1, rng,
-                         self._temperature, self._top_k, self._top_p)
+    _admit_fn = staticmethod(_rq_admit)
 
-    def _step_device(self, active, rng, n):
-        tok, steps, cache, cols = _rq_ragged_step(
+    def _step_device(self, active, n):
+        tok, steps, cache, rng, cols = _rq_ragged_step(
             self.module, self.variables, self._tok, self._steps, active,
-            self._cache, rng, n, self._temperature, self._top_k,
+            self._cache, self._rng, n, self._temperature, self._top_k,
             self._top_p)
-        self._tok, self._steps, self._cache = tok, steps, cache
+        self._tok, self._steps, self._cache, self._rng = (tok, steps,
+                                                          cache, rng)
         return cols
