@@ -223,10 +223,89 @@ def bench_ae_segments(batches, record):
               flush=True)
 
 
+def bench_scanned(batches, record, reuse_xrec=False, disc_bf16=True,
+                  iters=8, no_flops=False):
+    """Chained-scan GAN-step timing: ``iters`` full steps inside ONE jitted
+    program (state is the scan carry, so every grad/optimizer buffer feeds
+    the next iteration — nothing is DCE-able, unlike single-segment probes
+    that return one leaf). This is pure DEVICE time: the per-step numbers
+    from ``timed()`` include one relay dispatch per host-issued program
+    (~10-20 ms on this network-attached chip, absent on a PCIe-attached
+    production host), which a scanned multi-step train loop amortizes away.
+    The gap between the two IS the dispatch overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    fl_ae_b8, fl_d_b8 = ((float("nan"), float("nan")) if no_flops
+                         else algorithmic_flops_b8(reuse_xrec))
+
+    for batch in batches:
+        remat = batch >= 32
+        model, state, ae_step, disc_step = build(
+            batch, remat, disc_bf16=disc_bf16, reuse_xrec=reuse_xrec)
+        rng = jax.random.PRNGKey(1)
+        temp = jnp.float32(1.0)
+
+        def full_body(s, x):
+            # one full adversarial step: AE update, then D update on the
+            # (reuse_xrec: pre-update) reconstruction — the carry threads
+            # params+opt+disc so no backward GEMM is dead code
+            if reuse_xrec:
+                s, _, xrec = ae_step(s, x, rng, temp)
+                s, _ = disc_step(s, x, rng, temp, do_r1=False, xrec=xrec)
+            else:
+                s, _ = ae_step(s, x, rng, temp)
+                s, _ = disc_step(s, x, rng, temp, do_r1=False)
+            return s
+
+        def ae_body(s, x):
+            out = ae_step(s, x, rng, temp)
+            return out[0]
+
+        def scan_time(body, n, tag):
+            @jax.jit
+            def run(s0, x0):
+                def step_i(s, i):
+                    # unique input per iteration (relay caches identical
+                    # (executable, input) pairs) that also consumes the
+                    # carry's step counter — serializes iterations
+                    x = x0 + (i + s.step).astype(jnp.bfloat16) * 1e-6
+                    return body(s, x), None
+                s, _ = jax.lax.scan(step_i, s0, jnp.arange(n))
+                return s.step
+            x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                                    (batch, 256, 256, 3), jnp.bfloat16)
+            ts = []
+            for t in range(3):
+                s0 = jax.tree.map(jnp.copy, state)
+                xt = x0 + jnp.bfloat16((1 + t) * 1e-5)
+                _sync(run(s0, xt))  # compile (cached after trial 0)
+                s0 = jax.tree.map(jnp.copy, state)
+                t0 = time.perf_counter()
+                _sync(run(s0, xt + jnp.bfloat16(1e-6)))
+                ts.append((time.perf_counter() - t0) / n)
+            return statistics.median(ts)
+
+        t_ae = scan_time(ae_body, iters, "ae")
+        t_full = scan_time(full_body, iters, "full")
+        fl = (fl_ae_b8 + fl_d_b8) * batch / 8
+        mfu = fl / t_full / PEAK * 100
+        tag = " reuse_xrec" if reuse_xrec else ""
+        print(f"[gan-scanned b{batch}{tag}] ae {t_ae*1e3:.1f} ms, "
+              f"full step {t_full*1e3:.1f} ms ({batch/t_full:.1f} img/s, "
+              f"device MFU {mfu:.1f}%)", flush=True)
+        record("gan_step_scanned", batch / t_full, "img/s", batch=batch,
+               remat=remat, disc_bf16=disc_bf16, reuse_xrec=reuse_xrec,
+               ae_ms=round(t_ae * 1e3, 1),
+               full_ms=round(t_full * 1e3, 1),
+               mfu_pct=round(mfu, 1), iters_per_program=iters)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
-    ap.add_argument("--phase", choices=["all", "ae", "d", "r1", "segments"],
+    ap.add_argument("--phase", choices=["all", "ae", "d", "r1", "segments",
+                                        "scanned"],
                     default="all",
                     help="time one phase only (per-phase subprocesses keep "
                          "peak HBM down at b32: one held state + one copy "
@@ -254,6 +333,10 @@ def main():
 
     if args.phase == "segments":
         bench_ae_segments(args.batches, record)
+        return
+    if args.phase == "scanned":
+        bench_scanned(args.batches, record, reuse_xrec=args.reuse_xrec,
+                      disc_bf16=args.disc_bf16, no_flops=args.no_flops)
         return
 
     fl_ae_b8, fl_d_b8 = ((float("nan"), float("nan")) if args.no_flops
