@@ -41,8 +41,14 @@ def timed_scan(fn: Callable, x0, n: int, extras: Sequence = (),
         def run(x, *ops):
             def body(c, _):
                 y = fn(c, *ops)
-                leaf = jax.tree.leaves(y)[0]
-                feed = jnp.sum(leaf.reshape(-1)[:8].astype(jnp.float32))
+                # fold the FULL sum of EVERY leaf into the carry: folding
+                # only the first leaf lets XLA dead-code the rest (e.g. all
+                # other layers' dW GEMMs when fn returns a gradient tree),
+                # and a sliced checksum is unsafe too (XLA propagates
+                # slices through dots). One extra read of the outputs,
+                # identical across compared variants.
+                feed = sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves(y))
                 return (c + feed.astype(c.dtype)
                         * jnp.asarray(1e-12, c.dtype)), None
             c, _ = jax.lax.scan(body, x, None, length=length)

@@ -196,8 +196,25 @@ def bench_ae_segments(batches, record):
             return l
 
         def ae_fwd_bwd(c, p, dpp, lpp):
-            g = jax.grad(lambda pp: ae_loss_fwd(c, pp, dpp, lpp))(p)
-            return jax.tree.leaves(g)[0]
+            # return the WHOLE grad tree — timed_scan checksums every leaf,
+            # so no layer's dW GEMM is dead code (returning one leaf
+            # understated this segment by ~2x)
+            return jax.grad(lambda pp: ae_loss_fwd(c, pp, dpp, lpp))(p)
+
+        from enhancing_tpu.train.optim import make_ae_optimizer
+        tx = make_ae_optimizer(1e-4, None, 1)
+        opt0 = tx.init(ae_params)
+
+        def adamw_update(c, p, opt):
+            # AdamW bandwidth: fake grads derived from the carry (the
+            # update math is value-independent), full params+moments
+            # read/write — the piece of the AE phase that is pure
+            # optimizer
+            s = jnp.sum(c[0, 0, 0, :1]).astype(jnp.float32) * 1e-12
+            g = jax.tree.map(lambda a: a * (1.0 + s).astype(a.dtype), p)
+            updates, opt = tx.update(g, opt, p)
+            import optax
+            return optax.apply_updates(p, updates)
 
         segs = [
             ("enc_fwd", enc_fwd, (ae_params,)),
@@ -207,6 +224,7 @@ def bench_ae_segments(batches, record):
             ("d_fwd", d_fwd, (dp,)),
             ("ae_loss_fwd", ae_loss_fwd, (ae_params, dp, lp)),
             ("ae_fwd_bwd", ae_fwd_bwd, (ae_params, dp, lp)),
+            ("adamw_update", adamw_update, (ae_params, opt0)),
         ]
         out = {}
         for name, fn, extras in segs:
@@ -224,7 +242,7 @@ def bench_ae_segments(batches, record):
 
 
 def bench_scanned(batches, record, reuse_xrec=False, disc_bf16=True,
-                  iters=8, no_flops=False):
+                  iters=16, no_flops=False):
     """Chained-scan GAN-step timing: ``iters`` full steps inside ONE jitted
     program (state is the scan carry, so every grad/optimizer buffer feeds
     the next iteration — nothing is DCE-able, unlike single-segment probes
@@ -262,7 +280,12 @@ def bench_scanned(batches, record, reuse_xrec=False, disc_bf16=True,
             out = ae_step(s, x, rng, temp)
             return out[0]
 
-        def scan_time(body, n, tag):
+        def scan_time(body, n, tag, trials=5):
+            """Median ms/step of ONE n-step scanned program, timed whole
+            (no 2n-n subtraction — it doubles relay jitter; the one-time
+            program-entry cost is <= one relay dispatch / n steps, ~1-2%
+            at n=16, an OVERstatement of step time, i.e. conservative for
+            MFU). Returns (median_s, spread_s)."""
             @jax.jit
             def run(s0, x0):
                 def step_i(s, i):
@@ -272,32 +295,53 @@ def bench_scanned(batches, record, reuse_xrec=False, disc_bf16=True,
                     x = x0 + (i + s.step).astype(jnp.bfloat16) * 1e-6
                     return body(s, x), None
                 s, _ = jax.lax.scan(step_i, s0, jnp.arange(n))
-                return s.step
+                # checksum EVERY leaf of the final state: returning only
+                # s.step lets XLA dead-code the entire training chain
+                # (measured: a 365% "MFU" and a full step faster than
+                # its own AE phase)
+                return sum(jnp.sum(l).astype(jnp.float32)
+                           for l in jax.tree.leaves(s))
             x0 = jax.random.uniform(jax.random.PRNGKey(0),
                                     (batch, 256, 256, 3), jnp.bfloat16)
+            _sync(run(jax.tree.map(jnp.copy, state), x0))  # compile
             ts = []
-            for t in range(3):
+            for t in range(trials):
                 s0 = jax.tree.map(jnp.copy, state)
+                # drain the async state copies BEFORE opening the timing
+                # window — the device queue is in-order, so run() would
+                # otherwise wait on the copy tail inside the window
+                _sync(jax.tree.leaves(s0)[-1])
                 xt = x0 + jnp.bfloat16((1 + t) * 1e-5)
-                _sync(run(s0, xt))  # compile (cached after trial 0)
-                s0 = jax.tree.map(jnp.copy, state)
                 t0 = time.perf_counter()
-                _sync(run(s0, xt + jnp.bfloat16(1e-6)))
+                _sync(run(s0, xt))
                 ts.append((time.perf_counter() - t0) / n)
-            return statistics.median(ts)
+            med = statistics.median(ts)
+            spread = max(ts) - min(ts)
+            print(f"  [scanned {tag}] {med*1e3:.1f} ms/step "
+                  f"(spread {spread*1e3:.1f} over {trials} programs of "
+                  f"{n} steps)", flush=True)
+            if med <= 0 or spread > med:
+                print(f"  [scanned {tag}] NOISY — not recording", flush=True)
+                return None, None
+            return med, spread
 
-        t_ae = scan_time(ae_body, iters, "ae")
-        t_full = scan_time(full_body, iters, "full")
+        t_ae, sp_ae = scan_time(ae_body, iters, "ae")
+        t_full, sp_full = scan_time(full_body, iters, "full")
+        if t_full is None:
+            continue
         fl = (fl_ae_b8 + fl_d_b8) * batch / 8
         mfu = fl / t_full / PEAK * 100
         tag = " reuse_xrec" if reuse_xrec else ""
-        print(f"[gan-scanned b{batch}{tag}] ae {t_ae*1e3:.1f} ms, "
+        print(f"[gan-scanned b{batch}{tag}] "
+              f"ae {'%.1f' % (t_ae * 1e3) if t_ae else '?'} ms, "
               f"full step {t_full*1e3:.1f} ms ({batch/t_full:.1f} img/s, "
               f"device MFU {mfu:.1f}%)", flush=True)
         record("gan_step_scanned", batch / t_full, "img/s", batch=batch,
                remat=remat, disc_bf16=disc_bf16, reuse_xrec=reuse_xrec,
-               ae_ms=round(t_ae * 1e3, 1),
+               ae_ms=round(t_ae * 1e3, 1) if t_ae else None,
+               ae_spread_ms=round(sp_ae * 1e3, 1) if t_ae else None,
                full_ms=round(t_full * 1e3, 1),
+               full_spread_ms=round(sp_full * 1e3, 1),
                mfu_pct=round(mfu, 1), iters_per_program=iters)
 
 
