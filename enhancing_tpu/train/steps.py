@@ -169,7 +169,9 @@ def make_vitvq_train_steps_split(model, loss_obj, ae_tx, disc_tx=None,
     returns ``(state, log, xrec)`` with the reconstruction it already
     computed, and ``disc_step(..., xrec=...)`` trains D on it instead of
     re-running the generator forward. That saves one full generator
-    forward per step (measured: ~20% of the b8 GAN step), but D then sees
+    forward per step (measured, scanned 16-step programs on the v5e:
+    197.2 -> 171.5 ms/step at b8 = -13%, `gan_step_scanned` rows), but D
+    then sees
     the PRE-update generator's output — the reference recomputes xrec
     after the G optimizer step (vitvqgan.py:101-127, Lightning's
     sequential optimizers), so D there sees a half-step-fresher fake.
