@@ -173,11 +173,17 @@ class _SlotPool:
             raise RuntimeError("no free slot — call step() until one "
                                "completes") from None
         cond1 = jnp.asarray(cond, jnp.int32).reshape(1, -1)
+        # per-slot device scalars, uploaded once — a fresh jnp.int32(slot)
+        # would be one more host->device transfer per admission
+        slots_dev = getattr(self, "_slots_dev", None)
+        if slots_dev is None:
+            slots_dev = self._slots_dev = [jnp.int32(s)
+                                           for s in range(self.num_slots)]
         (self._rng, self._cache, self._tok, self._steps,
          item0) = _admit_commit(
             type(self)._admit_fn, self.module, self.variables, cond1,
             self._rng, self._cache, self._tok, self._steps,
-            jnp.int32(slot), self._temperature, self._top_k, self._top_p)
+            slots_dev[slot], self._temperature, self._top_k, self._top_p)
         rid = self._next_id
         self._next_id += 1
         self._slot_req[slot] = rid
