@@ -100,7 +100,8 @@ class _SlotPool:
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 pipeline: int = 0) -> None:
+                 pipeline: int = 0,
+                 fetch_thread: bool = False) -> None:
         self.module = module
         self.variables = variables
         self.num_slots = int(num_slots)
@@ -123,6 +124,16 @@ class _SlotPool:
         # surface up to D step() calls later than they finished.
         # (pipeline=True is accepted as depth 1 for back-compat.)
         self._pipe_depth = int(pipeline)
+        # fetch_thread moves the blocking device->host materialization of
+        # each dispatch's items onto a single background thread: through a
+        # network-attached chip the fetch is a serialized multi-ms round
+        # trip even when the result is long since computed, and with
+        # pipelining it is the only remaining host work on step()'s
+        # critical path. One worker keeps fetches ordered; _process()
+        # waits on the future (usually already resolved by the time the
+        # dispatch leaves the pipeline window).
+        self._fetch_thread = bool(fetch_thread) and self._pipe_depth > 0
+        self._fetcher = None
         self._pending: List[Tuple[Any, List[Optional[int]]]] = []
         self._cache = module.apply(variables, self.num_slots,
                                    method="init_cache")
@@ -230,6 +241,11 @@ class _SlotPool:
             # would be one extra relay program per dispatch
             items = self._step_device(cached[1], int(n))
             _host_async(items)
+            if self._fetch_thread:
+                if self._fetcher is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._fetcher = ThreadPoolExecutor(max_workers=1)
+                items = self._fetcher.submit(np.asarray, items)
             self._pending.append((items, list(self._slot_req)))
         out: List[Tuple[int, np.ndarray]] = []
         # nothing active to keep the device busy -> drain everything
@@ -254,6 +270,8 @@ class _SlotPool:
         if batch is None:
             return []
         items, slot_req = batch
+        if hasattr(items, "result"):                   # fetch_thread future
+            items = items.result()
         items = np.asarray(items)                      # (n, B, ...)
         finished: List[Tuple[int, np.ndarray]] = []
         for t in range(items.shape[0]):

@@ -35,6 +35,10 @@ def main():
                     help="pipelined batcher depth D: up to D dispatches in "
                          "flight before fetching the oldest (hides the "
                          "relay round trip; D>=2 rides out host hiccups)")
+    ap.add_argument("--fetch_thread", action="store_true",
+                    help="materialize dispatch results on a background "
+                         "thread (overlaps the serialized relay fetch "
+                         "with dispatch issue; needs --pipeline >= 1)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="steady-state windows per config; the recorded "
                          "row carries the median + the min-max spread")
@@ -117,7 +121,8 @@ def _run_continuous(args, m, vs, n, jax, jnp, record, dims, T):
 
     b = ContinuousGPTBatcher(m, vs, num_slots=args.slots,
                              rng=jax.random.PRNGKey(7), top_k=100,
-                             pipeline=args.pipeline)
+                             pipeline=args.pipeline,
+                             fetch_thread=args.fetch_thread)
     submit_ts = {}
 
     def submit(cond_val):
@@ -159,13 +164,16 @@ def _run_continuous(args, m, vs, n, jax, jnp, record, dims, T):
     p50 = lats[len(lats) // 2]
     p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
     tag = f" pipelined(depth={args.pipeline})" if args.pipeline else ""
+    if args.fetch_thread:
+        tag += " fetch_thread"
     print(f"[continuous b{args.slots} dispatch={n}{tag}] "
           f"{med:.0f} tok/s steady-state (spread {spread:.0f} over "
           f"{args.repeats} windows; staggered slots, admissions "
           f"included); request latency p50 {p50:.2f}s p99 {p99:.2f}s "
           f"({p50 / T * 1e3:.2f} ms/tok p50)", flush=True)
     record("serving_continuous", med, "tok/s", dispatch=n,
-           pipeline=args.pipeline, spread=round(spread, 1),
+           pipeline=args.pipeline, fetch_thread=args.fetch_thread,
+           spread=round(spread, 1),
            runs=[round(r, 1) for r in rates],
            lat_p50_s=round(p50, 3), lat_p99_s=round(p99, 3),
            n_requests=len(lats), **dims)
@@ -190,7 +198,7 @@ def _run_continuous(args, m, vs, n, jax, jnp, record, dims, T):
           f"{ttft * 1e3:.0f} ms (median of {len(ttfts)} admissions under "
           f"load)", flush=True)
     record("serving_ttft", ttft * 1e3, "ms", dispatch=n,
-           pipeline=args.pipeline, **dims)
+           pipeline=args.pipeline, fetch_thread=args.fetch_thread, **dims)
 
 
 if __name__ == "__main__":

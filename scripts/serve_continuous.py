@@ -192,6 +192,10 @@ def main(argv=None):
                         "keep up to DEPTH dispatches in flight before "
                         "fetching the oldest (completions surface up to "
                         "DEPTH dispatches later; 0 = fetch every dispatch)")
+    p.add_argument("--fetch_thread", action="store_true",
+                   help="materialize dispatch results on a background "
+                        "thread (overlaps the serialized device->host "
+                        "fetch with dispatch issue; needs --pipeline >= 1)")
     args = p.parse_args(argv)
 
     import jax
@@ -223,7 +227,8 @@ def main(argv=None):
     batcher = cls(
         tfm, variables, args.slots,
         jax.random.PRNGKey(args.seed), temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p, pipeline=args.pipeline)
+        top_k=args.top_k, top_p=args.top_p, pipeline=args.pipeline,
+        fetch_thread=args.fetch_thread)
     loop = BatcherLoop(batcher, args.steps_per_dispatch)
     loop.start()
     handler = make_handler(loop, batcher, build_decode_fn(model))

@@ -195,14 +195,17 @@ def test_continuous_batcher_matches_lockstep_greedy(gpt):
     np.testing.assert_array_equal(done[rid2], want[2])
 
 
-@pytest.mark.parametrize("depth", [True, 2])
-def test_pipelined_batcher_matches_lockstep_greedy(gpt, depth):
+@pytest.mark.parametrize("depth,fetch_thread",
+                         [(True, False), (2, False), (2, True)])
+def test_pipelined_batcher_matches_lockstep_greedy(gpt, depth, fetch_thread):
     """Pipelined dispatch (up to D issued before fetching the oldest) must
     not change ANY request's greedy codes — the stale active mask only
     covers rows already frozen on device, and the up-to-D-dispatch
     admission lag shifts schedules, never contents. Also pins flush()
     draining every in-flight dispatch. depth=True pins the bool
-    back-compat (== depth 1); depth=2 the deeper queue."""
+    back-compat (== depth 1); depth=2 the deeper queue; fetch_thread=True
+    the background-thread materialization (results must be byte-identical
+    whether fetched inline or by the worker)."""
     from enhancing_tpu.models.stage2.batcher import ContinuousGPTBatcher
     m, vs = gpt
     conds = [jnp.asarray([c], jnp.int32) for c in (1, 4, 7)]
@@ -214,7 +217,7 @@ def test_pipelined_batcher_matches_lockstep_greedy(gpt, depth):
 
     b = ContinuousGPTBatcher(m, vs, num_slots=2,
                              rng=jax.random.PRNGKey(123), top_k=1,
-                             pipeline=depth)
+                             pipeline=depth, fetch_thread=fetch_thread)
     rid0 = b.submit(conds[0])
     for _ in range(3):
         b.step(2)
